@@ -1,0 +1,222 @@
+"""Frozen configuration dataclasses.
+
+All tunables of the reference are compile-time C++ constants scattered over
+`include/MPCParam.h:44-57`, `include/mpcQP.h:18-22,37-60`,
+`src/linear_mpc_example.cpp:12-32` and `include/stateEstimator.h:116-122`.
+Here they are gathered into frozen dataclasses whose defaults mirror those
+literals, so a config object fully determines a jitted pipeline (static
+hashable -> usable as a jit static argument).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _t3(x: float, y: float, z: float) -> Tuple[float, float, float]:
+    return (float(x), float(y), float(z))
+
+
+@dataclasses.dataclass(frozen=True)
+class LegOffsets:
+    """TRON1 point-foot leg chain offsets (meters), one leg, left-side signs.
+
+    Mirrors `kinematicValues` (reference include/MPCParam.h:13-38).  The chain
+    is base -> abad -> hip -> knee -> foot -> contact; the right leg mirrors
+    the y components (reference include/MPCParam.h:64-73).
+    """
+
+    abad_offset: Tuple[float, float, float] = _t3(0.05556, 0.105, -0.2602)
+    hip_offset: Tuple[float, float, float] = _t3(-0.077, 0.02050, 0.0)
+    knee_offset: Tuple[float, float, float] = _t3(-0.1500, -0.02050, -0.25981)
+    foot_offset: Tuple[float, float, float] = _t3(0.145, 0.0, -0.2598)
+    contact_offset: Tuple[float, float, float] = _t3(0.0, 0.0, -0.032)
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotParams:
+    """TRON1 rigid-body constants (reference include/mpcQP.h:18-22)."""
+
+    mass: float = 9.585
+    # Full 3x3 body inertia tensor, row-major (kg m^2).
+    inertia: Tuple[float, ...] = (
+        140110.479e-06, 534.939e-06, 28184.116e-06,
+        534.939e-06, 110641.449e-06, -27.278e-06,
+        28184.116e-06, -27.278e-06, 98944.542e-06,
+    )
+    num_joints: int = 6          # reference include/pf_controller_base.h:100
+    gravity: float = 9.81
+    legs: LegOffsets = LegOffsets()
+
+    @property
+    def static_foot_offset_left(self) -> Tuple[float, float, float]:
+        """Default base->contact offset, left leg (include/MPCParam.h:64-68).
+
+        NB the reference flips y of abad/hip/knee but keeps foot/contact —
+        reproduced verbatim.
+        """
+        lo = self.legs
+        return (
+            lo.abad_offset[0] + lo.hip_offset[0] + lo.knee_offset[0]
+            + lo.foot_offset[0] + lo.contact_offset[0],
+            -lo.abad_offset[1] - lo.hip_offset[1] - lo.knee_offset[1]
+            + lo.foot_offset[1] + lo.contact_offset[1],
+            lo.abad_offset[2] + lo.hip_offset[2] + lo.knee_offset[2]
+            + lo.foot_offset[2] + lo.contact_offset[2],
+        )
+
+    @property
+    def static_foot_offset_right(self) -> Tuple[float, float, float]:
+        """Default base->contact offset, right leg (include/MPCParam.h:70-72)."""
+        lo = self.legs
+        return (
+            lo.abad_offset[0] + lo.hip_offset[0] + lo.knee_offset[0]
+            + lo.foot_offset[0] + lo.contact_offset[0],
+            lo.abad_offset[1] + lo.hip_offset[1] + lo.knee_offset[1]
+            + lo.foot_offset[1] + lo.contact_offset[1],
+            lo.abad_offset[2] + lo.hip_offset[2] + lo.knee_offset[2]
+            + lo.foot_offset[2] + lo.contact_offset[2],
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitParams:
+    """Gait clock and swing-trajectory constants (include/MPCParam.h:44-53)."""
+
+    dt: float = 0.001            # control tick period (s)
+    mpc_step: int = 5            # MPC re-solve every mpc_step ticks
+    swing_time: float = 0.5      # s
+    stance_time: float = 0.5     # s
+    gait_height: float = 0.1     # max swing-foot apex height (m)
+    given_error_rate: float = 0.1  # move-to-zero joint tolerance (rad)
+    p_rel_max: float = 0.3       # foot-placement clamp (MPCController.h:111)
+
+    @property
+    def dt_mpc(self) -> float:
+        return self.dt * self.mpc_step
+
+    @property
+    def cycle_time(self) -> float:
+        return self.swing_time + self.stance_time
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched QP solver knobs.
+
+    The reference uses qpOASES dense active-set with nWSR=50000
+    (src/QPSolver.cpp:92) — branchy and SIMD-hostile.  The TPU engine uses
+    fixed-iteration, branch-free solvers:
+
+    * ``pdip``: primal-dual interior point, ~1e-8 accurate in `iters` Newton
+      steps; the default for accuracy-critical solves.
+    * ``admm``: over-relaxed ADMM with a cached Cholesky factor; cheaper per
+      iteration and warm-startable across MPC ticks.
+    """
+
+    method: str = "pdip"         # "pdip" | "admm"
+    iters: int = 20              # fixed Newton / ADMM iteration count
+    admm_rho: float = 1.0
+    admm_alpha: float = 1.6      # over-relaxation
+    pdip_mu_min: float = 1e-12
+    pdip_tau: float = 0.99       # fraction-to-boundary
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Condensed-MPC problem description (horizon + weights + bounds).
+
+    Defaults correspond to the double-integrator example problem
+    (src/linear_mpc_example.cpp:12-32, src/qpSolver_test.cpp:6-24).
+    """
+
+    nx: int = 4
+    nu: int = 2
+    horizon: int = 15            # N
+    ts: float = 0.01             # discretization step (s)
+    q_diag: Tuple[float, ...] = (50.0, 5.0, 50.0, 5.0)
+    r_diag: Tuple[float, ...] = (0.1, 0.1)
+    p_scale: float = 20.0        # P = p_scale * Q (terminal weight)
+    x_min: Tuple[float, ...] = (-5.0, -3.0, -5.0, -3.0)
+    x_max: Tuple[float, ...] = (5.0, 3.0, 5.0, 3.0)
+    u_min: float = -8.0
+    u_max: float = 8.0
+    use_state_constraints: bool = True
+    solver: SolverConfig = SolverConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class SRBDConfig:
+    """SRBD stance-force MPC problem (reference include/mpcQP.h:37-60).
+
+    state x = [theta_rpy(3), p(3), omega(3), v(3), g(1)]  (13)
+    input u = ground-reaction force of the support foot (3)
+    """
+
+    nx: int = 13
+    nu: int = 3
+    horizon: int = 20            # N (include/mpcQP.h:38)
+    ts: float = 0.001            # (include/mpcQP.h:37)
+    q_diag: Tuple[float, ...] = (
+        1.0, 1.0, 10.0, 100.0, 100.0, 100.0,
+        50.0, 50.0, 50.0, 100.0, 100.0, 100.0, 0.1,
+    )
+    r_diag: Tuple[float, ...] = (0.1, 0.1, 0.1)
+    p_scale: float = 20.0
+    u_min: float = -8.0          # reference placeholder box (include/mpcQP.h:59)
+    u_max: float = 8.0
+    # Corrected-physics constraint set: friction cone + unilateral fz.
+    friction_mu: float = 0.5
+    fz_min: float = 0.0
+    fz_max: float = 200.0
+    # Which formulation of (Ac, Bc): "corrected" fixes the reference's
+    # physics bugs (see models/srbd.py); "reference_literal" reproduces the
+    # matrices of include/mpcQP.h:152-181 bit-for-bit for parity testing.
+    formulation: str = "corrected"
+    # Constraint style: "friction_cone" (corrected) or "box" (reference ±8 N).
+    constraints: str = "friction_cone"
+    solver: SolverConfig = SolverConfig()
+    # Reference trajectory knobs (include/mpcQP.h:75-76)
+    ref_yaw_rate: float = 0.1
+    ref_velocity_x: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    """Kalman-filter noise parameters (include/stateEstimator.h:116-122)."""
+
+    foot_radius: float = 0.02
+    imu_process_noise_position: float = 0.02
+    imu_process_noise_velocity: float = 0.02
+    foot_process_noise_position: float = 0.002
+    foot_sensor_noise_position: float = 0.005
+    foot_sensor_noise_velocity: float = 0.1
+    foot_height_sensor_noise: float = 0.01
+    high_suspect_number: float = 100.0   # contact-gated inflation (:270)
+    initial_covariance: float = 100.0    # p_ = 100*I (:207-208)
+
+
+@dataclasses.dataclass(frozen=True)
+class ControllerConfig:
+    """Everything the full TRON1 walking controller tick needs."""
+
+    robot: RobotParams = RobotParams()
+    gait: GaitParams = GaitParams()
+    srbd: SRBDConfig = SRBDConfig()
+    estimator: EstimatorConfig = EstimatorConfig()
+    # Desired base velocity (reference hardcodes (1,0,0); MPCController.h:16)
+    desired_velocity: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    desired_yaw_rate: float = 0.0
+    # PD gains of the position-mode joint command
+    # (src/mpc_control_fake_state.cpp:37-38)
+    kp: float = 60.0
+    kd: float = 3.0
+    # Swing IK: "analytic" closed-form 3-DoF point-foot IK (preferred) or
+    # "damped_ls" fixed-iteration 6D-log damped least squares matching
+    # include/pinocchio_kinematics.h:61-149.
+    ik_method: str = "analytic"
+    ik_iters: int = 10           # pinocchio_kinematics.h:61 (max_iterations)
+    ik_tol: float = 1e-3
+    ik_damp: float = 1e-6
+    ik_dt: float = 0.1
