@@ -159,6 +159,79 @@ def condense(
                        A_blocks=A_blocks, B_blocks=B_blocks)
 
 
+class CondensationCache(NamedTuple):
+    """Per-(Ad,Bd) precomputation for LTI MPC: everything that does not
+    depend on (x0, x_ref).  The reference rebuilds all of this every control
+    step (src/QPSolver.cpp:31-60); caching it leaves only two small matvecs
+    per tick on the device.
+
+    A_blocks [N+1,nx,nx]; B_mat [(N+1)nx, nz]; QB [(N+1)nx, nz];
+    H [nz,nz]; G [m,nz] (constraint matrix, constant for box+state rows).
+    """
+
+    A_blocks: jnp.ndarray
+    B_mat: jnp.ndarray
+    QB: jnp.ndarray
+    H: jnp.ndarray
+    G: jnp.ndarray
+    N: int
+    nx: int
+    nu: int
+
+
+def condense_cache(Ad, Bd, Q, R, P, N, with_state_rows: bool = True,
+                   extra_G: Optional[jnp.ndarray] = None) -> CondensationCache:
+    """Precompute the x0-independent parts of the condensed QP."""
+    nx = Ad.shape[-1]
+    nu = Bd.shape[-1]
+    dtype = Ad.dtype
+    A_blocks, B_blocks = prediction_matrices(Ad, Bd, N)
+    B_mat = _flatten_b(B_blocks)
+    nz = N * nu
+    Qs = jnp.concatenate(
+        [jnp.broadcast_to(Q, (N, nx, nx)), P[None]], axis=0)
+    B_rows = B_mat.reshape(N + 1, nx, nz)
+    QB = jnp.einsum("ixy,iyz->ixz", Qs, B_rows).reshape((N + 1) * nx, nz)
+    R_bar = jnp.kron(jnp.eye(N, dtype=dtype), R)
+    H = 2.0 * (B_mat.T @ QB + R_bar)
+    H = 0.5 * (H + H.T)
+
+    eye_z = jnp.eye(nz, dtype=dtype)
+    G_parts = [eye_z, -eye_z]
+    if with_state_rows:
+        G_parts += [B_mat[nx:], -B_mat[nx:]]
+    if extra_G is not None:
+        G_parts.append(extra_G)
+    G = jnp.concatenate(G_parts, axis=0)
+    return CondensationCache(A_blocks=A_blocks, B_mat=B_mat, QB=QB, H=H,
+                             G=G, N=N, nx=nx, nu=nu)
+
+
+def linear_terms(cache: CondensationCache, x0, x_ref, u_min, u_max,
+                 x_min=None, x_max=None, extra_h=None):
+    """Per-tick linear pieces (f, h) for the cached condensation.
+
+    x_ref is [N+1, nx].  Must pass x_min/x_max iff the cache was built with
+    state rows, and extra_h iff it was built with extra_G.
+    """
+    N, nx, nu = cache.N, cache.nx, cache.nu
+    dtype = x0.dtype
+    nz = N * nu
+    x_pred_free = (cache.A_blocks @ x0).reshape(-1)
+    err = x_pred_free - x_ref.reshape(-1)
+    f = 2.0 * (cache.QB.T @ err)
+
+    h_parts = [jnp.full((nz,), u_max, dtype), jnp.full((nz,), -u_min, dtype)]
+    if x_min is not None:
+        xf = x_pred_free[nx:]
+        x_max_t = jnp.tile(jnp.asarray(x_max, dtype), N)
+        x_min_t = jnp.tile(jnp.asarray(x_min, dtype), N)
+        h_parts += [x_max_t - xf, -(x_min_t - xf)]
+    if extra_h is not None:
+        h_parts.append(extra_h)
+    return f, jnp.concatenate(h_parts, axis=0)
+
+
 def predict_states(qp: CondensedQP, x0: jnp.ndarray,
                    z: jnp.ndarray) -> jnp.ndarray:
     """Reconstruct the predicted state trajectory [N+1, nx] from controls."""
