@@ -1,1 +1,6 @@
-from mpc_limx_control_tpu.control import linear_mpc  # noqa: F401
+from mpc_limx_control_tpu.control import (  # noqa: F401
+    controller,
+    estimator,
+    gait,
+    linear_mpc,
+)

@@ -1,0 +1,245 @@
+"""The TRON1 walking controller tick: estimate -> gait -> placement ->
+swing IK -> stance-force MPC -> joint command.
+
+This is the TPU-native counterpart of `MPC::run`
+(include/MPCController.h:183-196) with the piece the reference left empty —
+`computeSupportFootForce` (include/MPCController.h:177-180) — actually
+implemented via the intended SRBD condensed-QP GRF solve (include/mpcQP.h),
+corrected and generalized:
+
+* two-foot formulation (nu = 6: one GRF per foot) with contact gating, so
+  standing balance (both feet) and walking (alternating) are the same code
+  path;
+* contact-scheduled LTV condensation over the horizon;
+* pyramidal friction-cone constraints instead of the placeholder +/-8 N box;
+* stance joint torques tau = J^T (-R^T f) closing the loop the reference
+  never wired up.
+
+The whole tick is a pure function, jit-compiled, vmappable over a scenario
+batch; no Python control flow depends on data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_limx_control_tpu.core.config import ControllerConfig
+from mpc_limx_control_tpu.core.types import (GaitState, JointState, OdomState,
+                                             RobotCmd)
+from mpc_limx_control_tpu.control import gait as gaitmod
+from mpc_limx_control_tpu.models import kinematics as kin
+from mpc_limx_control_tpu.models import srbd
+from mpc_limx_control_tpu.ops import condense as cnd
+from mpc_limx_control_tpu.ops import discretize as dsc
+from mpc_limx_control_tpu.ops import qp as qps
+from mpc_limx_control_tpu.utils import rotations as rot
+
+
+class TickDiagnostics(NamedTuple):
+    gait: GaitState
+    grf: jnp.ndarray           # [..., 6] stance forces (world), L then R
+    qp_residual: jnp.ndarray   # [...]
+    foot_target: jnp.ndarray   # [..., 3]
+    swing_q: jnp.ndarray       # [..., 3]
+    predicted_xi: jnp.ndarray  # [..., 13] one-step-ahead SRBD state
+
+
+def _cone_rows(cfg: ControllerConfig, dtype):
+    """Static friction-cone matrix for two feet over the horizon:
+    G [12N, 6N].  The bound vector h is schedule-dependent (built per
+    tick)."""
+    c = cfg.srbd
+    mu = c.friction_mu
+    Gu1 = jnp.asarray([
+        [1.0, 0.0, -mu],
+        [-1.0, 0.0, -mu],
+        [0.0, 1.0, -mu],
+        [0.0, -1.0, -mu],
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, -1.0],
+    ], dtype)
+    Gu = jax.scipy.linalg.block_diag(Gu1, Gu1)          # [12, 6]
+    return jnp.kron(jnp.eye(c.horizon, dtype=dtype), Gu)
+
+
+def _cone_bounds(cfg: ControllerConfig, on_l: jnp.ndarray,
+                 on_r: jnp.ndarray, dtype):
+    """h [..., 12N]: fz in [fz_min, fz_max] for stance feet, fz = 0 for
+    swing feet (which with the cone rows forces the whole GRF to zero).
+    on_l/on_r [..., N] in {0,1}."""
+    c = cfg.srbd
+
+    def foot_h(on):
+        zeros4 = jnp.zeros((*on.shape, 4), dtype)
+        top = on[..., None] * c.fz_max                  # fz <= on*fz_max
+        bot = -on[..., None] * c.fz_min                 # -fz <= -on*fz_min
+        return jnp.concatenate([zeros4, top, bot], axis=-1)   # [..., N, 6]
+
+    h = jnp.concatenate([foot_h(on_l), foot_h(on_r)], axis=-1)  # [...,N,12]
+    return h.reshape(*h.shape[:-2], -1)
+
+
+def stance_mpc(cfg: ControllerConfig, odom: OdomState,
+               arm_l: jnp.ndarray, arm_r: jnp.ndarray,
+               on_l: jnp.ndarray, on_r: jnp.ndarray, v_des: jnp.ndarray,
+               yaw_rate_des: jnp.ndarray,
+               pos_anchor: jnp.ndarray | None = None):
+    """Solve the SRBD GRF MPC for ONE scenario.
+
+    arm_l/arm_r [3]: the world position each foot exerts force from when in
+    stance (current position for a currently-standing foot; the placement
+    target for a foot that lands within the horizon).
+    on_l/on_r [N] in {0,1}: stance schedule per foot over the horizon.
+    Returns (grf [6] world forces (L,R), residual, xi_pred [13]).
+    """
+    c = cfg.srbd
+    N = c.horizon
+    dtype = odom.pos.dtype
+
+    xi0 = srbd.initial_state(odom.ori, odom.pos, odom.v_ori, odom.v_pos)
+    yaw = odom.ori[..., 2]
+
+    # Per-foot linearization at the operating point (per-foot moment arm
+    # constant over the horizon; the schedule gates which columns act).
+    _, Bc_l = srbd.linearize(cfg.robot, arm_l, odom.pos, yaw, dtype)
+    Ac, Bc_r = srbd.linearize(cfg.robot, arm_r, odom.pos, yaw, dtype)
+    Bc = jnp.concatenate([Bc_l, Bc_r], axis=-1)         # [13, 6]
+    Ad, Bd = dsc.zoh_taylor(Ac, Bc, c.ts)
+
+    # LTV input gating over the horizon: zero the swing foot's columns.
+    gate = jnp.concatenate([
+        jnp.repeat(on_l[:, None], 3, axis=1),
+        jnp.repeat(on_r[:, None], 3, axis=1),
+    ], axis=1)                                          # [N, 6]
+    Bd_t = Bd[None] * gate[:, None, :]                  # [N, 13, 6]
+
+    Q = jnp.diag(jnp.asarray(c.q_diag, dtype))
+    # input weight per foot (r_diag is per-GRF, duplicated for two feet)
+    R = jnp.diag(jnp.asarray(tuple(c.r_diag) * 2, dtype))
+    P = c.p_scale * Q
+
+    x_ref = srbd.walking_reference(xi0, c, N, v_des, yaw_rate_des,
+                                   height_des=cfg.base_height,
+                                   pos_anchor=pos_anchor)
+
+    G = _cone_rows(cfg, dtype)
+    h = _cone_bounds(cfg, on_l, on_r, dtype)
+
+    qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
+                      None, None, extra_G=G, extra_h=h)
+    sol = qps.pdip_qp(qp.H, qp.f, qp.G, qp.h, iters=c.solver.iters)
+    grf = sol.u[:6]
+    xi_pred = qp.A_blocks[1] @ xi0 + qp.B_blocks[1, 0] @ grf
+    return grf, sol.residual, xi_pred
+
+
+def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
+         iteration: jnp.ndarray):
+    """One 1 kHz control tick for ONE scenario (vmap for batches).
+
+    Returns (RobotCmd, TickDiagnostics).  Mirrors MPC::run
+    (include/MPCController.h:183-196): gait clock -> foot placement ->
+    swing trajectory + IK -> (new) stance GRF MPC -> command packing.
+    """
+    dtype = odom.pos.dtype
+    v_des = jnp.asarray(cfg.desired_velocity, dtype)
+    yaw_rate_des = jnp.asarray(cfg.desired_yaw_rate, dtype)
+
+    gait = gaitmod.gait_clock(cfg.gait, iteration)
+    target_w = gaitmod.foot_placement(cfg, gait, odom.pos, v_des,
+                                      v_actual=odom.v_pos)
+
+    # World-frame foot positions from FK + base pose
+    R_wb = rot.quat_to_rot(odom.quat)
+    gl = kin.leg_geometry(cfg.robot.legs, "left", dtype)
+    gr = kin.leg_geometry(cfg.robot.legs, "right", dtype)
+    p_l_b = kin.forward_kinematics(gl, joints.q[..., :3])
+    p_r_b = kin.forward_kinematics(gr, joints.q[..., 3:])
+    p_l_w = odom.pos + jnp.einsum("...ij,...j->...i", R_wb, p_l_b)
+    p_r_w = odom.pos + jnp.einsum("...ij,...j->...i", R_wb, p_r_b)
+
+    # ---- swing leg: trajectory + analytic IK --------------------------
+    foot_now_w = jnp.where(gait.left_swing, p_l_w, p_r_w)
+    next_w = gaitmod.swing_trajectory(cfg.gait, gait, foot_now_w, target_w)
+    # world -> base frame target
+    next_b = jnp.einsum("...ji,...j->...i", R_wb, next_w - odom.pos)
+    geom_swing_l = gl
+    geom_swing_r = gr
+    q_guess_l = joints.q[..., :3]
+    q_guess_r = joints.q[..., 3:]
+    if cfg.ik_method == "analytic":
+        q_sw_l = kin.inverse_kinematics_analytic(geom_swing_l, next_b,
+                                                 q_guess_l)
+        q_sw_r = kin.inverse_kinematics_analytic(geom_swing_r, next_b,
+                                                 q_guess_r)
+    else:
+        q_sw_l = kin.inverse_kinematics_damped_ls(
+            geom_swing_l, next_b, q_guess_l, iters=cfg.ik_iters,
+            damp=cfg.ik_damp)
+        q_sw_r = kin.inverse_kinematics_damped_ls(
+            geom_swing_r, next_b, q_guess_r, iters=cfg.ik_iters,
+            damp=cfg.ik_damp)
+    swing_q = jnp.where(gait.left_swing[..., None], q_sw_l, q_sw_r)
+
+    # ---- stance leg: SRBD GRF MPC + torque map ------------------------
+    dtype_sched = dtype
+    if cfg.mode == "stand":
+        on_l = jnp.ones((cfg.srbd.horizon,), dtype_sched)
+        on_r = jnp.ones((cfg.srbd.horizon,), dtype_sched)
+        arm_l, arm_r = p_l_w, p_r_w
+        pos_anchor = 0.5 * (p_l_w + p_r_w)
+        pos_anchor = pos_anchor.at[..., 2].set(cfg.base_height)
+    else:
+        pos_anchor = None
+        schedule = gaitmod.contact_schedule(
+            cfg.gait, iteration, cfg.srbd.horizon, cfg.srbd.ts)
+        on_l = schedule.astype(dtype_sched)
+        on_r = 1.0 - on_l
+        # moment arms: a currently-standing foot pushes from where it is; a
+        # currently-swinging foot re-enters stance (within a horizon that
+        # spans the phase switch) at the placement target.
+        arm_l = jnp.where(gait.left_swing, target_w, p_l_w)
+        arm_r = jnp.where(gait.left_swing, p_r_w, target_w)
+    grf, residual, xi_pred = stance_mpc(
+        cfg, odom, arm_l, arm_r, on_l, on_r, v_des, yaw_rate_des,
+        pos_anchor=pos_anchor)
+
+    f_l_w, f_r_w = grf[..., :3], grf[..., 3:]
+    f_l_b = jnp.einsum("...ji,...j->...i", R_wb, f_l_w)
+    f_r_b = jnp.einsum("...ji,...j->...i", R_wb, f_r_w)
+    J_l = kin.contact_jacobian(gl, joints.q[..., :3])
+    J_r = kin.contact_jacobian(gr, joints.q[..., 3:])
+    tau_l = -jnp.einsum("...ji,...j->...i", J_l, f_l_b)
+    tau_r = -jnp.einsum("...ji,...j->...i", J_r, f_r_b)
+
+    # ---- pack the command --------------------------------------------
+    left_swing = gait.left_swing
+    if cfg.mode == "stand":
+        q_cmd = joints.q
+        tau_cmd = jnp.concatenate([tau_l, tau_r], -1)
+        kp = jnp.zeros((*q_cmd.shape[:-1], 6), dtype)
+        kd = jnp.full_like(kp, cfg.kd)
+    else:
+        q_cmd = jnp.where(left_swing[..., None],
+                          jnp.concatenate([swing_q, joints.q[..., 3:]], -1),
+                          jnp.concatenate([joints.q[..., :3], swing_q], -1))
+        tau_cmd = jnp.where(
+            left_swing[..., None],
+            jnp.concatenate([jnp.zeros_like(tau_l), tau_r], -1),
+            jnp.concatenate([tau_l, jnp.zeros_like(tau_r)], -1))
+        swing_gain = jnp.where(left_swing[..., None],
+                               jnp.asarray([1., 1., 1., 0., 0., 0.], dtype),
+                               jnp.asarray([0., 0., 0., 1., 1., 1.], dtype))
+        kp = cfg.kp * swing_gain
+        kd = jnp.full_like(kp, cfg.kd)
+
+    cmd = RobotCmd(
+        mode=jnp.zeros((*q_cmd.shape[:-1], 6), jnp.int32),
+        q=q_cmd, dq=jnp.zeros_like(q_cmd), tau=tau_cmd, kp=kp, kd=kd)
+    diag = TickDiagnostics(gait=gait, grf=grf, qp_residual=residual,
+                           foot_target=target_w, swing_q=swing_q,
+                           predicted_xi=xi_pred)
+    return cmd, diag

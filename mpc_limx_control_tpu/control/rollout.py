@@ -1,0 +1,175 @@
+"""Batched closed-loop walking/standing simulation harness.
+
+The reference closes its loop through Gazebo + the limxsdk UDP link
+(SURVEY.md §3.1); the numerical analogue it actually exercises is the
+linear plant rollout x <- Ad x + Bd u of src/QPSolver.cpp:108-111.  This
+module is the TPU-native equivalent: a batched SRBD plant driven by the
+full controller tick, entirely on device —
+
+    plant state: xi(13), joints q(6), world foot positions (L, R)
+    per tick:  truth odometry -> controller.tick -> GRF + joint cmd
+               -> SRBD step at the control rate -> foot/joint kinematics
+
+Swing joints track their commands ideally (perfect position servo — the
+same idealization the reference's move-to-zero phase assumes); stance feet
+are pinned where they touched down, their joint angles given by IK.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mpc_limx_control_tpu.core.config import ControllerConfig
+from mpc_limx_control_tpu.core.types import JointState, OdomState
+from mpc_limx_control_tpu.control import controller as ctrl
+from mpc_limx_control_tpu.control import gait as gaitmod
+from mpc_limx_control_tpu.models import kinematics as kin
+from mpc_limx_control_tpu.models import srbd
+from mpc_limx_control_tpu.ops import discretize as dsc
+from mpc_limx_control_tpu.utils import rotations as rot
+
+
+@chex.dataclass(frozen=True)
+class PlantState:
+    xi: jnp.ndarray        # [..., 13] SRBD state
+    q: jnp.ndarray         # [..., 6] joint angles
+    foot_l: jnp.ndarray    # [..., 3] world
+    foot_r: jnp.ndarray    # [..., 3] world
+
+
+def initial_plant_state(cfg: ControllerConfig, batch=(),
+                        dtype=jnp.float32) -> PlantState:
+    """Standing at the configured base height, feet at their static
+    offsets, joints from IK."""
+    pos = jnp.zeros((*batch, 3), dtype).at[..., 2].set(cfg.base_height)
+    xi = jnp.zeros((*batch, 13), dtype)
+    xi = xi.at[..., 3:6].set(pos)
+    xi = xi.at[..., 12].set(-9.81)
+
+    off_l = jnp.asarray(cfg.robot.nominal_foot_offset_left, dtype)
+    off_r = jnp.asarray(cfg.robot.nominal_foot_offset_right, dtype)
+    foot_l = (pos + off_l).at[..., 2].set(0.0)
+    foot_r = (pos + off_r).at[..., 2].set(0.0)
+    if cfg.mode == "stand":
+        # a point-foot biped has no COP authority: static equilibrium
+        # requires the feet directly below the COM in x
+        foot_l = foot_l.at[..., 0].set(pos[..., 0])
+        foot_r = foot_r.at[..., 0].set(pos[..., 0])
+
+    gl = kin.leg_geometry(cfg.robot.legs, "left", dtype)
+    gr = kin.leg_geometry(cfg.robot.legs, "right", dtype)
+    zero3 = jnp.zeros((*batch, 3), dtype)
+    q_l = kin.inverse_kinematics_analytic(gl, foot_l - pos, zero3)
+    q_r = kin.inverse_kinematics_analytic(gr, foot_r - pos, zero3)
+    q = jnp.concatenate([q_l, q_r], axis=-1)
+    return PlantState(xi=xi, q=q, foot_l=foot_l, foot_r=foot_r)
+
+
+def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
+    ori = xi[..., 0:3]
+    return OdomState(pos=xi[..., 3:6], ori=ori,
+                     quat=rot.rpy_to_quat(ori),
+                     v_pos=xi[..., 9:12], v_ori=xi[..., 6:9])
+
+
+def plant_step(cfg: ControllerConfig, state: PlantState,
+               iteration: jnp.ndarray):
+    """One 1 kHz simulation tick for ONE scenario (vmap for batches)."""
+    dtype = state.xi.dtype
+    odom = _odom_from_xi(state.xi)
+    joints = JointState(q=state.q, dq=jnp.zeros_like(state.q),
+                        tau=jnp.zeros_like(state.q))
+
+    cmd, diag = ctrl.tick(cfg, odom, joints, iteration)
+
+    # ---- SRBD dynamics with the commanded GRF ------------------------
+    yaw = state.xi[..., 2]
+    _, Bc_l = srbd.linearize(cfg.robot, state.foot_l, odom.pos, yaw, dtype)
+    Ac, Bc_r = srbd.linearize(cfg.robot, state.foot_r, odom.pos, yaw, dtype)
+    if cfg.mode == "stand":
+        on_l = jnp.ones((), dtype)
+        on_r = jnp.ones((), dtype)
+        left_swing = jnp.zeros((), bool)
+    else:
+        g = gaitmod.gait_clock(cfg.gait, iteration)
+        left_swing = g.left_swing
+        on_l = 1.0 - left_swing.astype(dtype)
+        on_r = left_swing.astype(dtype)
+    Bc = jnp.concatenate([Bc_l * on_l, Bc_r * on_r], axis=-1)
+    Ad, Bd = dsc.zoh_taylor(Ac, Bc, cfg.gait.dt)
+    xi_new = Ad @ state.xi + Bd @ diag.grf
+
+    # ---- foot / joint kinematics -------------------------------------
+    base_new = xi_new[..., 3:6]
+    R_new = rot.quat_to_rot(rot.rpy_to_quat(xi_new[..., 0:3]))
+    gl = kin.leg_geometry(cfg.robot.legs, "left", dtype)
+    gr = kin.leg_geometry(cfg.robot.legs, "right", dtype)
+
+    if cfg.mode == "stand":
+        q_l = kin.inverse_kinematics_analytic(
+            gl, jnp.einsum("...ji,...j->...i", R_new,
+                           state.foot_l - base_new), state.q[..., :3])
+        q_r = kin.inverse_kinematics_analytic(
+            gr, jnp.einsum("...ji,...j->...i", R_new,
+                           state.foot_r - base_new), state.q[..., 3:])
+        new_state = PlantState(xi=xi_new,
+                               q=jnp.concatenate([q_l, q_r], -1),
+                               foot_l=state.foot_l, foot_r=state.foot_r)
+    else:
+        # swing leg executes its command; stance leg keeps its foot pinned
+        q_sw = jnp.where(left_swing[..., None], cmd.q[..., :3],
+                         cmd.q[..., 3:])
+        p_sw_b = kin.forward_kinematics(
+            jax.tree.map(lambda a, b: jnp.where(left_swing, a, b), gl, gr),
+            q_sw)
+        p_sw_w = base_new + jnp.einsum("...ij,...j->...i", R_new, p_sw_b)
+
+        foot_l = jnp.where(left_swing[..., None], p_sw_w, state.foot_l)
+        foot_r = jnp.where(left_swing[..., None], state.foot_r, p_sw_w)
+
+        q_st_l = kin.inverse_kinematics_analytic(
+            gl, jnp.einsum("...ji,...j->...i", R_new, foot_l - base_new),
+            state.q[..., :3])
+        q_st_r = kin.inverse_kinematics_analytic(
+            gr, jnp.einsum("...ji,...j->...i", R_new, foot_r - base_new),
+            state.q[..., 3:])
+        q_new = jnp.where(
+            left_swing[..., None],
+            jnp.concatenate([q_sw, q_st_r], -1),
+            jnp.concatenate([q_st_l, q_sw], -1))
+        new_state = PlantState(xi=xi_new, q=q_new,
+                               foot_l=foot_l, foot_r=foot_r)
+
+    metrics = {
+        "height": xi_new[..., 5],
+        "velocity": xi_new[..., 9:12],
+        "grf": diag.grf,
+        "qp_residual": diag.qp_residual,
+        "foot_target": diag.foot_target,
+    }
+    return new_state, metrics
+
+
+def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
+            start_iteration: int = 0):
+    """Closed-loop simulation for ONE scenario; returns (final, metrics)
+    with metrics stacked over time on axis 0."""
+
+    def body(s, it):
+        return plant_step(cfg, s, it)
+
+    its = jnp.arange(start_iteration, start_iteration + steps,
+                     dtype=state0.xi.dtype)
+    return lax.scan(body, state0, its)
+
+
+def batched_rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
+                    start_iteration: int = 0):
+    """vmap of rollout over the leading batch axis of state0."""
+    return jax.vmap(
+        lambda s: rollout(cfg, s, steps, start_iteration))(state0)

@@ -79,6 +79,24 @@ class RobotParams:
             + lo.foot_offset[2] + lo.contact_offset[2],
         )
 
+    # The reference's static offsets above carry its internally confused
+    # left/right y signs (its "left" offset lands at y = -0.105).  The
+    # nominal offsets below are the self-consistent convention used by the
+    # working controller: left leg at +y (matching models/kinematics.py),
+    # right leg mirrored — i.e. FK of each leg at q = 0.
+
+    @property
+    def nominal_foot_offset_left(self) -> Tuple[float, float, float]:
+        lo = self.legs
+        return tuple(
+            lo.abad_offset[i] + lo.hip_offset[i] + lo.knee_offset[i]
+            + lo.foot_offset[i] + lo.contact_offset[i] for i in range(3))
+
+    @property
+    def nominal_foot_offset_right(self) -> Tuple[float, float, float]:
+        x, y, z = self.nominal_foot_offset_left
+        return (x, -y, z)
+
 
 @dataclasses.dataclass(frozen=True)
 class GaitParams:
@@ -181,6 +199,23 @@ class SRBDConfig:
     ref_yaw_rate: float = 0.1
     ref_velocity_x: float = 0.5
 
+    @classmethod
+    def walking(cls) -> "SRBDConfig":
+        """A *functioning* balance/walking tuning.
+
+        The literal reference values (Ts = 1 ms, N = 20, R = 0.1) give a
+        20 ms lookahead in which the cheapest QP answer is ~1 N of force —
+        the dead mpcQP code was never a working balance controller.  This
+        preset follows the convex-MPC literature: horizon spanning half a
+        gait cycle (20 x 25 ms = 0.5 s) and an input weight scaled to
+        ~100 N force magnitudes.
+        """
+        return cls(ts=0.025, horizon=20,
+                   r_diag=(1e-4, 1e-4, 1e-4),
+                   q_diag=(10.0, 10.0, 10.0, 100.0, 100.0, 150.0,
+                           1.0, 1.0, 1.0, 10.0, 10.0, 20.0, 0.0),
+                   fz_max=400.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class EstimatorConfig:
@@ -205,6 +240,18 @@ class ControllerConfig:
     gait: GaitParams = GaitParams()
     srbd: SRBDConfig = SRBDConfig()
     estimator: EstimatorConfig = EstimatorConfig()
+    # "walk" alternates stance per the gait clock; "stand" keeps both feet
+    # in stance (standing-balance config, BASELINE config 2).
+    mode: str = "walk"
+    # Foot placement law: "reference" reproduces the active reference code
+    # (desired velocity only, include/MPCController.h:106-132) — open-loop
+    # in velocity, which cannot catch a lateral fall; "capture" uses the
+    # measured velocity plus a capture-point correction (the strategy of
+    # the commented-out variant at include/MPCController.h:78-103,
+    # completed with the sqrt(h/g) capture gain).
+    placement_mode: str = "capture"
+    # Desired base height above ground for the SRBD reference (m).
+    base_height: float = 0.65
     # Desired base velocity (reference hardcodes (1,0,0); MPCController.h:16)
     desired_velocity: Tuple[float, float, float] = (1.0, 0.0, 0.0)
     desired_yaw_rate: float = 0.0

@@ -137,9 +137,13 @@ def condense(
     err = x_pred_free - x_ref.reshape(-1)
     f = 2.0 * (QB.T @ err)
 
-    eye_z = jnp.eye(nz, dtype=dtype)
-    G_parts = [eye_z, -eye_z]
-    h_parts = [jnp.full((nz,), u_max, dtype), jnp.full((nz,), -u_min, dtype)]
+    G_parts = []
+    h_parts = []
+    if u_min is not None:
+        eye_z = jnp.eye(nz, dtype=dtype)
+        G_parts += [eye_z, -eye_z]
+        h_parts += [jnp.full((nz,), u_max, dtype),
+                    jnp.full((nz,), -u_min, dtype)]
 
     if x_min is not None:
         B_pred = B_mat[nx:]                            # states 1..N
