@@ -145,6 +145,7 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
     swing trajectory + IK -> (new) stance GRF MPC -> command packing.
     """
     dtype = odom.pos.dtype
+    iteration = jnp.asarray(iteration, dtype)
     v_des = jnp.asarray(cfg.desired_velocity, dtype)
     yaw_rate_des = jnp.asarray(cfg.desired_yaw_rate, dtype)
 

@@ -59,7 +59,7 @@ def foot_placement(cfg: ControllerConfig, state: GaitState,
     gait = cfg.gait
     if cfg.placement_mode == "capture" and v_actual is not None:
         v_pred = v_actual
-        k_cap = jnp.sqrt(cfg.base_height / 9.81)
+        k_cap = cfg.capture_gain_scale * jnp.sqrt(cfg.base_height / 9.81)
         correction = k_cap * (v_actual[..., :2] - v_des[..., :2])
     else:
         v_pred = v_des

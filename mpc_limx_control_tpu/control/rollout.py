@@ -81,6 +81,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
                iteration: jnp.ndarray):
     """One 1 kHz simulation tick for ONE scenario (vmap for batches)."""
     dtype = state.xi.dtype
+    iteration = jnp.asarray(iteration, dtype)
     odom = _odom_from_xi(state.xi)
     joints = JointState(q=state.q, dq=jnp.zeros_like(state.q),
                         tau=jnp.zeros_like(state.q))

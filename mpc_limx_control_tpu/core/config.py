@@ -206,14 +206,16 @@ class SRBDConfig:
         The literal reference values (Ts = 1 ms, N = 20, R = 0.1) give a
         20 ms lookahead in which the cheapest QP answer is ~1 N of force —
         the dead mpcQP code was never a working balance controller.  This
-        preset follows the convex-MPC literature: horizon spanning half a
-        gait cycle (20 x 25 ms = 0.5 s) and an input weight scaled to
-        ~100 N force magnitudes.
+        preset follows the convex-MPC literature: horizon spanning more
+        than a gait cycle (20 x 20 ms = 0.4 s) and an input weight scaled
+        to ~100 N force magnitudes.  Validated by the closed-loop walking
+        rollout (tests/test_walking.py): stable limit cycle, |roll| < 0.03,
+        height held within 3 mm.
         """
-        return cls(ts=0.025, horizon=20,
+        return cls(ts=0.02, horizon=20,
                    r_diag=(1e-4, 1e-4, 1e-4),
-                   q_diag=(10.0, 10.0, 10.0, 100.0, 100.0, 150.0,
-                           1.0, 1.0, 1.0, 10.0, 10.0, 20.0, 0.0),
+                   q_diag=(20.0, 20.0, 5.0, 50.0, 50.0, 200.0,
+                           1.0, 1.0, 1.0, 5.0, 5.0, 30.0, 0.0),
                    fz_max=400.0)
 
 
@@ -250,6 +252,9 @@ class ControllerConfig:
     # the commented-out variant at include/MPCController.h:78-103,
     # completed with the sqrt(h/g) capture gain).
     placement_mode: str = "capture"
+    # Scale on the sqrt(h/g) capture-point gain; <1 soft-steps, tuned for
+    # the lateral limit cycle width.
+    capture_gain_scale: float = 1.0
     # Desired base height above ground for the SRBD reference (m).
     base_height: float = 0.65
     # Desired base velocity (reference hardcodes (1,0,0); MPCController.h:16)
@@ -267,3 +272,24 @@ class ControllerConfig:
     ik_tol: float = 1e-3
     ik_damp: float = 1e-6
     ik_dt: float = 0.1
+
+    @classmethod
+    def walking(cls, velocity=(0.5, 0.0, 0.0)) -> "ControllerConfig":
+        """The validated walking configuration (BASELINE configs 3-4):
+        0.3 s swing/stance, SRBDConfig.walking() weights, capture-point
+        placement at 0.6 gain."""
+        return cls(
+            gait=GaitParams(swing_time=0.3, stance_time=0.3),
+            srbd=SRBDConfig.walking(),
+            desired_velocity=tuple(float(v) for v in velocity),
+            capture_gain_scale=0.6,
+            mode="walk")
+
+    @classmethod
+    def standing(cls) -> "ControllerConfig":
+        """Standing-balance configuration (BASELINE config 2): both feet in
+        stance, zero desired velocity, position anchored to the support."""
+        return cls(
+            srbd=SRBDConfig.walking(),
+            desired_velocity=(0.0, 0.0, 0.0),
+            mode="stand")
