@@ -39,16 +39,19 @@ def main():
     def step(state, it):
         return jax.vmap(lambda s: ro.plant_step(cfg, s, it))(state)
 
-    # warmup / compile
+    # warmup / compile.  NB: fetch to host (np.asarray) rather than
+    # block_until_ready — on the tunneled TPU backend block_until_ready
+    # can return before execution finishes, which silently inflates
+    # throughput numbers by orders of magnitude.
     st, _ = step(state0, jnp.asarray(0.0, jnp.float32))
-    jax.block_until_ready(st)
+    np.asarray(st.xi)
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     st = state0
     for k in range(iters):
         st, m = step(st, jnp.asarray(float(k), jnp.float32))
-    jax.block_until_ready(st)
+    np.asarray(st.xi)
     elapsed = time.perf_counter() - t0
 
     solves_per_s = batch * iters / elapsed
@@ -58,12 +61,12 @@ def main():
     s1 = ro.initial_plant_state(cfg)
     step1 = jax.jit(lambda s, it: ro.plant_step(cfg, s, it))
     r, _ = step1(s1, jnp.asarray(0.0, jnp.float32))
-    jax.block_until_ready(r)
+    np.asarray(r.xi)
     lats = []
     for k in range(30):
         t0 = time.perf_counter()
         r, _ = step1(s1, jnp.asarray(float(k), jnp.float32))
-        jax.block_until_ready(r)
+        np.asarray(r.xi)
         lats.append(time.perf_counter() - t0)
     p50 = float(np.median(lats))
 
