@@ -136,7 +136,8 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
 
     qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
                       None, None, extra_G=G, extra_h=h)
-    sol = qps.pdip_qp(qp.H, qp.f, qp.G, qp.h, iters=c.solver.iters)
+    solver = qps.make_pdip(iters=c.solver.iters)
+    sol = solver(qp.H, qp.f, qp.G, qp.h)
     grf = sol.u[:6]
     xi_pred = qp.A_blocks[1] @ xi0 + qp.B_blocks[1, 0] @ grf
     return grf, sol.residual, xi_pred
@@ -183,7 +184,8 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
     qp = cnd.condense(Ad_t, Bd_t, Q, R, P, N, xi0, x_ref,
                       None, None, extra_G=G, extra_h=h)
-    sol = qps.pdip_qp(qp.H, qp.f, qp.G, qp.h, iters=c.solver.iters)
+    solver = qps.make_pdip(iters=c.solver.iters)
+    sol = solver(qp.H, qp.f, qp.G, qp.h)
     u0 = sol.u[:3]
     left_now = on_l[0] > 0.5
     zeros3 = jnp.zeros_like(u0)

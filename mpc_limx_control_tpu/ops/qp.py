@@ -162,6 +162,170 @@ def pdip_qp(H: jnp.ndarray, f: jnp.ndarray, G: jnp.ndarray, h: jnp.ndarray,
     return QPSolution(u=u, iterations=iters, residual=merit_best)
 
 
+def _pad_to(x, B_pad, fill):
+    B = x.shape[0]
+    if B == B_pad:
+        return x
+    pad = [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _batched_pdip(H, f, G, h, iters: int, use_pallas: bool):
+    """Batch-first PDIP: H [B,n,n], f [B,n], G [B,m,n], h [B,m].
+
+    Same math as :func:`pdip_qp` but with the per-iteration SPD solves done
+    by the Pallas batched Cholesky kernel (ops/chol_pallas.py) when
+    `use_pallas` — ~3x faster than XLA's cholesky+triangular_solve chain
+    on v5e at these sizes.
+    """
+    from mpc_limx_control_tpu.ops import chol_pallas
+
+    dtype = H.dtype
+    B, n = f.shape
+    m = h.shape[-1]
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
+    d_cap = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
+    reg = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    if use_pallas:
+        B_pad = ((B + chol_pallas.LANES - 1)
+                 // chol_pallas.LANES) * chol_pallas.LANES
+        if B_pad != B:
+            H = _pad_to(H, B_pad, 0.0) + jnp.where(
+                jnp.arange(B_pad)[:, None, None] >= B, eye, 0.0)
+            f = _pad_to(f, B_pad, 0.0)
+            G = _pad_to(G, B_pad, 0.0)
+            h = _pad_to(h, B_pad, 1.0)
+
+        def spd_solve2(M, r1, r2):
+            L = chol_pallas.cholesky(M + reg * eye)
+            rhs = jnp.stack([r1, r2], axis=-1)          # [B, n, 2]
+            out = chol_pallas.chol_solve(L, rhs)
+            return out[..., 0], out[..., 1]
+    else:
+        def spd_solve2(M, r1, r2):
+            L = jnp.linalg.cholesky(M + reg * eye)
+            rhs = jnp.stack([r1, r2], axis=-1)
+            y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+            out = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L, -1, -2), y, lower=False)
+            return out[..., 0], out[..., 1]
+
+    Gt = jnp.swapaxes(G, -1, -2)
+
+    def spd_solve1(M, r1):
+        a, _ = spd_solve2(M, r1, r1)
+        return a
+
+    # init: z = -H^{-1} f
+    if use_pallas:
+        z0 = -chol_pallas.posdef_solve(H + reg * eye, f[..., None])[..., 0]
+    else:
+        Lh = jnp.linalg.cholesky(H + reg * eye)
+        y = jax.scipy.linalg.solve_triangular(Lh, f[..., None], lower=True)
+        z0 = -jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Lh, -1, -2), y, lower=False)[..., 0]
+
+    s0_raw = h - jnp.einsum("bmn,bn->bm", G, z0)
+    shift = jnp.maximum(0.0, -jnp.min(s0_raw, axis=-1, keepdims=True)) + 1.0
+    s0 = s0_raw + shift
+    lam0 = jnp.ones_like(h)
+    f_scale = 1.0 + jnp.max(jnp.abs(f), axis=-1)
+    mu0 = jnp.sum(s0 * lam0, axis=-1) / m
+
+    def merit_of(z, s, lam):
+        r_dual = (jnp.einsum("bij,bj->bi", H, z) + f
+                  + jnp.einsum("bmn,bm->bn", G, lam))
+        r_prim = jnp.maximum(jnp.einsum("bmn,bn->bm", G, z) - h, 0.0)
+        mu = jnp.sum(s * lam, axis=-1) / m
+        return (jnp.max(jnp.abs(r_dual), axis=-1) / f_scale
+                + jnp.max(r_prim, axis=-1) + mu / mu0)
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(1.0, jnp.min(ratio, axis=-1))
+
+    def newton_step(carry, _):
+        z, s, lam, z_best, merit_best = carry
+        r_dual = (jnp.einsum("bij,bj->bi", H, z) + f
+                  + jnp.einsum("bmn,bm->bn", G, lam))
+        gz = jnp.einsum("bmn,bn->bm", G, z)
+        r_prim = gz + s - h
+        mu = jnp.sum(s * lam, axis=-1) / m
+
+        d = jnp.minimum(lam / jnp.maximum(s, eps), d_cap)
+        M = H + jnp.matmul(Gt, G * d[..., None])
+
+        s_safe = jnp.maximum(s, eps)
+
+        def rhs_of(r_comp):
+            return -r_dual + jnp.einsum(
+                "bmn,bm->bn", G, (r_comp - lam * r_prim) / s_safe)
+
+        rc_aff = s * lam
+        # affine direction (need dz_a first to get sigma, then corrector;
+        # both share the factor via the 2-rhs solve once sigma is known —
+        # do affine solve, compute sigma, then corrector solve)
+        dz_a = spd_solve1(M, rhs_of(rc_aff))
+        ds_a = -r_prim - jnp.einsum("bmn,bn->bm", G, dz_a)
+        dlam_a = -(rc_aff + lam * ds_a) / s_safe
+        a_aff = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
+        mu_aff = jnp.sum((s + a_aff[..., None] * ds_a)
+                         * (lam + a_aff[..., None] * dlam_a), axis=-1) / m
+        sigma = (mu_aff / jnp.maximum(mu, eps)) ** 3
+
+        rc = s * lam - (sigma * mu)[..., None] + ds_a * dlam_a
+        dz = spd_solve1(M, rhs_of(rc))
+        ds = -r_prim - jnp.einsum("bmn,bn->bm", G, dz)
+        dlam = -(rc + lam * ds) / s_safe
+        alpha = (0.99 * jnp.minimum(max_step(s, ds),
+                                    max_step(lam, dlam)))[..., None]
+
+        z = z + alpha * dz
+        s = jnp.maximum(s + alpha * ds, eps)
+        lam = jnp.maximum(lam + alpha * dlam, eps)
+        merit = merit_of(z, s, lam)
+        better = merit < merit_best
+        z_best = jnp.where(better[..., None], z, z_best)
+        merit_best = jnp.where(better, merit, merit_best)
+        return (z, s, lam, z_best, merit_best), None
+
+    init = (z0, s0, lam0, z0, merit_of(z0, s0, lam0))
+    (_, _, _, z_best, merit_best), _ = lax.scan(
+        newton_step, init, None, length=iters)
+    return QPSolution(u=z_best[:B], iterations=iters,
+                      residual=merit_best[:B])
+
+
+def make_pdip(iters: int = 20, use_pallas: Optional[bool] = None):
+    """A pdip solver whose vmap rule dispatches to the batch-native
+    implementation (with the Pallas Cholesky kernel on TPU).
+
+    Usage: `solver = make_pdip(iters); jax.vmap(solver)(H, f, G, h)` or
+    call it unbatched.  `use_pallas=None` auto-selects by backend.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    @jax.custom_batching.custom_vmap
+    def solve(H, f, G, h):
+        return pdip_qp(H, f, G, h, iters=iters)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, H, f, G, h):
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x, (axis_size, *x.shape))
+
+        out = _batched_pdip(bc(H, in_batched[0]), bc(f, in_batched[1]),
+                            bc(G, in_batched[2]), bc(h, in_batched[3]),
+                            iters, use_pallas)
+        return out, QPSolution(u=True, iterations=False, residual=True)
+
+    return solve
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def admm_qp(H: jnp.ndarray, f: jnp.ndarray, G: jnp.ndarray, l: jnp.ndarray,
             u: jnp.ndarray, iters: int = 50, rho: float = 1.0,
