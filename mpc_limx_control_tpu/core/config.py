@@ -216,7 +216,11 @@ class SRBDConfig:
                    r_diag=(1e-4, 1e-4, 1e-4),
                    q_diag=(20.0, 20.0, 5.0, 50.0, 50.0, 200.0,
                            1.0, 1.0, 1.0, 5.0, 5.0, 30.0, 0.0),
-                   fz_max=400.0)
+                   fz_max=400.0,
+                   # f32 PDIP reaches its precision floor by ~iteration 10
+                   # on these QPs (measured: first-input error 7e-3 N on a
+                   # ~90 N scale, flat from iters=10 to 20)
+                   solver=SolverConfig(iters=12))
 
 
 @dataclasses.dataclass(frozen=True)
