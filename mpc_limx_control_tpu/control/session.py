@@ -1,0 +1,195 @@
+"""Host-side robot control session — the application layer.
+
+TPU-native counterpart of the reference's entry-point executables
+(SURVEY.md §2, L5):
+
+* :class:`ControlSession` = the `MPCWalking` app
+  (src/mpc_control_fake_state.cpp:18-157): owns a runtime link, runs
+  `init` (gain setup + calibration gate), `start` (move-to-zero with
+  linear interpolation and the errorTest tolerance gate,
+  src/mpc_control_fake_state.cpp:48-102), and `run` (the 1 kHz loop:
+  poll state -> jitted controller tick -> publish command), with the
+  reference's milliseconds_per_step units bug fixed (the loop really
+  ticks at the configured rate).
+* :func:`move_single_joint` / :func:`move_group_joints` = the limX SDK
+  demos pf_joint_move / pf_groupJoints_move (src/pf_joint_move.cpp:36-78,
+  src/pf_groupJoints_move.cpp:39-89): interpolate one/all joints to a
+  target at 1 kHz.
+* :func:`square_wave_torque` = the actuator smoke test of the vestigial
+  MPCController.cpp (src/MPCController.cpp:8-17): +/-20 Nm square wave on
+  joints 1 and 4 with a 1000-iteration period.
+* :func:`error_test` = MPCParam::errorTest (include/MPCParam.h:75-82).
+
+The compute path stays jitted JAX; this module is the thin host driver
+around it (the role ROS + the SDK callbacks play in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_limx_control_tpu.core.config import ControllerConfig
+from mpc_limx_control_tpu.core.types import ImuData, JointState, KFState, OdomState
+from mpc_limx_control_tpu.control import controller as ctrl
+from mpc_limx_control_tpu.control import estimator as est
+from mpc_limx_control_tpu import runtime as rt
+
+
+def error_test(target_pos, now_pos, tolerance: float = 0.1) -> bool:
+    """All six joints within tolerance (include/MPCParam.h:75-82)."""
+    t = np.asarray(target_pos, np.float64)
+    n = np.asarray(now_pos, np.float64)
+    return bool((np.abs(t[:6] - n[:6]) < tolerance).all())
+
+
+def square_wave_torque(iteration: int, amplitude: float = 20.0,
+                       period: int = 1000) -> np.ndarray:
+    """+/-amplitude Nm on joints 1 and 4 (0-indexed: 0 and 3), switching
+    every `period` iterations (src/MPCController.cpp:8-17)."""
+    tau = np.zeros(6, np.float32)
+    sign = 1.0 if (iteration // period) % 2 == 0 else -1.0
+    tau[0] = sign * amplitude
+    tau[3] = sign * amplitude
+    return tau
+
+
+def move_single_joint(link: rt.RobotLink, joint_id: int, target: float,
+                      kp: float = 60.0, kd: float = 3.0,
+                      duration_iters: int = 2000, hz: float = 1000.0,
+                      max_iters: int = 20000) -> bool:
+    """pf_joint_move: interpolate one joint to `target` at 1 kHz."""
+    with rt.Rate(hz) as rate:
+        init_q = None
+        for it in range(max_iters):
+            state = link.recv_state()
+            if state is None:
+                rate.sleep()
+                continue
+            if init_q is None:
+                init_q = state["q"].copy()
+            r = min(max(it / duration_iters, 0.0), 1.0)
+            q_cmd = state["q"].copy()
+            q_cmd[joint_id] = (1 - r) * init_q[joint_id] + r * target
+            kp_v = np.zeros(6, np.float32)
+            kd_v = np.zeros(6, np.float32)
+            kp_v[joint_id] = kp
+            kd_v[joint_id] = kd
+            link.send_cmd(q=q_cmd, kp=kp_v, kd=kd_v)
+            if r >= 1.0 and abs(state["q"][joint_id] - target) < 0.1:
+                return True
+            rate.sleep()
+    return False
+
+
+def move_group_joints(link: rt.RobotLink, targets, kp: float = 60.0,
+                      kd: float = 3.0, duration_iters: int = 2000,
+                      hz: float = 1000.0, tolerance: float = 0.1,
+                      max_iters: int = 20000) -> bool:
+    """pf_groupJoints_move / the session's move-to-zero phase: linear
+    interpolation of all joints with the errorTest gate."""
+    targets = np.asarray(targets, np.float32)
+    with rt.Rate(hz) as rate:
+        init_q = None
+        it = 0
+        for _ in range(max_iters):
+            state = link.recv_state()
+            if state is None:
+                rate.sleep()
+                continue
+            if init_q is None:
+                init_q = state["q"].copy()
+            r = min(max(it / duration_iters, 0.0), 1.0)
+            q_cmd = (1 - r) * init_q + r * targets
+            link.send_cmd(q=q_cmd, kp=np.full(6, kp, np.float32),
+                          kd=np.full(6, kd, np.float32))
+            if error_test(targets, state["q"], tolerance):
+                return True
+            it += 1
+            rate.sleep()
+    return False
+
+
+class ControlSession:
+    """The MPCWalking application: init -> start (move to zero) -> run."""
+
+    def __init__(self, cfg: Optional[ControllerConfig] = None,
+                 host_ip: str = "127.0.0.1", state_port: int = 17101,
+                 cmd_port: int = 17102):
+        self.cfg = cfg or ControllerConfig.walking()
+        self.link = rt.RobotLink(host_ip, state_port, cmd_port)
+        self._tick = jax.jit(
+            lambda odom, joints, it: ctrl.tick(self.cfg, odom, joints, it))
+        self._est_tick = jax.jit(
+            lambda kf, joints, imu, contact: est.estimator_tick(
+                self.cfg, kf, joints, imu, contact, self.cfg.gait.dt))
+        self.kf = KFState.initial(
+            (), self.cfg.estimator.initial_covariance, jnp.float32)
+        self.calibrated = True     # the calibration-diagnostic abort gate
+
+    def close(self):
+        self.link.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- init: gains + calibration gate (src/mpc_control_fake_state.cpp:24-43)
+    def init(self) -> None:
+        if not self.calibrated:
+            raise RuntimeError("calibration diagnostic failed")  # abort()
+
+    # -- start: move to zero point (src/mpc_control_fake_state.cpp:48-102)
+    def start(self, timeout_iters: int = 20000) -> bool:
+        return move_group_joints(
+            self.link, np.zeros(6, np.float32), kp=self.cfg.kp,
+            kd=self.cfg.kd, tolerance=self.cfg.gait.given_error_rate,
+            max_iters=timeout_iters)
+
+    # -- run: the 1 kHz MPC loop (src/mpc_control_fake_state.cpp:108-149)
+    def run(self, iterations: int, hz: float = 1000.0,
+            use_kf: bool = False) -> dict:
+        """Run `iterations` control ticks; returns loop statistics."""
+        stats = {"sent": 0, "stale": 0, "missed_deadlines": 0}
+        it = 0
+        with rt.Rate(hz) as rate:
+            while it < iterations:
+                state = self.link.recv_state()
+                if state is None:
+                    stats["stale"] += 1
+                    rate.sleep()
+                    continue
+                imu_raw = self.link.recv_imu()
+                joints = JointState(
+                    q=jnp.asarray(state["q"]),
+                    dq=jnp.asarray(state["dq"]),
+                    tau=jnp.asarray(state["tau"]))
+                if use_kf and imu_raw is not None:
+                    imu = ImuData(quat=jnp.asarray(imu_raw["quat"]),
+                                  acc=jnp.asarray(imu_raw["acc"]),
+                                  gyro=jnp.asarray(imu_raw["gyro"]))
+                    contact = jnp.asarray([True, True])
+                    out = self._est_tick(self.kf, joints, imu, contact)
+                    self.kf = out.kf
+                    odom = out.odom
+                else:
+                    # fake-estimator path: perfect odometry must be fed by
+                    # the host (e.g. the loopback simulator publishes pose
+                    # in the IMU slot) — default to a nominal standing pose
+                    odom = OdomState.zeros(()).replace(
+                        pos=jnp.asarray([0.0, 0.0, self.cfg.base_height]))
+                cmd, diag = self._tick(odom, joints,
+                                       jnp.asarray(float(it), jnp.float32))
+                self.link.send_cmd(
+                    q=np.asarray(cmd.q), dq=np.asarray(cmd.dq),
+                    tau=np.asarray(cmd.tau), kp=np.asarray(cmd.kp),
+                    kd=np.asarray(cmd.kd), mode=np.asarray(cmd.mode))
+                stats["sent"] += 1
+                it += 1
+                stats["missed_deadlines"] += rate.sleep()
+        return stats

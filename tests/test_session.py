@@ -1,0 +1,108 @@
+"""Control-session tests over the native UDP loopback: move-to-zero,
+group/single joint moves, the 1 kHz MPC loop, and the smoke-test helpers.
+
+The "robot" is an ideal-servo simulator thread speaking the pf_runtime
+wire protocol — the role Gazebo + limxsdk play for the reference.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from mpc_limx_control_tpu import runtime as rt
+from mpc_limx_control_tpu.control import session as ses
+
+
+class LoopbackRobot:
+    """Ideal position-servo robot: q tracks commanded q instantly."""
+
+    def __init__(self, state_port, cmd_port, q0=None, hz=2000.0):
+        self.host = rt.RobotHost(state_port=state_port, cmd_port=cmd_port)
+        self.q = np.zeros(6, np.float32) if q0 is None else np.asarray(
+            q0, np.float32)
+        self.hz = hz
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        rate = rt.Rate(self.hz)
+        try:
+            while not self._stop.is_set():
+                cmd = self.host.poll_cmd()
+                if cmd is not None:
+                    # ideal servo: position-mode joints follow commands
+                    track = cmd["kp"] > 0
+                    self.q[track] = cmd["q"][track]
+                self.host.publish_state(
+                    self.q, quat=(0, 0, 0, 1), acc=(0, 0, 9.81))
+                rate.sleep()
+        finally:
+            rate.close()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self.host.close()
+
+
+@pytest.fixture
+def robot_ports():
+    # distinct ports per test run to avoid rebinding races
+    base = 17300 + int(time.time() * 10) % 300
+    return base, base + 1
+
+
+def test_move_group_joints_reaches_zero(robot_ports):
+    sp, cp = robot_ports
+    robot = LoopbackRobot(sp, cp, q0=[0.4, -0.3, 0.5, -0.2, 0.3, -0.4])
+    try:
+        with rt.RobotLink("127.0.0.1", sp, cp) as link:
+            ok = ses.move_group_joints(link, np.zeros(6), duration_iters=200,
+                                       hz=500.0, max_iters=3000)
+        assert ok
+        np.testing.assert_allclose(robot.q, 0.0, atol=0.1)
+    finally:
+        robot.close()
+
+
+def test_move_single_joint(robot_ports):
+    sp, cp = robot_ports
+    robot = LoopbackRobot(sp, cp)
+    try:
+        with rt.RobotLink("127.0.0.1", sp, cp) as link:
+            ok = ses.move_single_joint(link, 2, 0.7, duration_iters=200,
+                                       hz=500.0, max_iters=3000)
+        assert ok
+        assert abs(robot.q[2] - 0.7) < 0.1
+    finally:
+        robot.close()
+
+
+def test_session_mpc_loop(robot_ports):
+    sp, cp = robot_ports
+    robot = LoopbackRobot(sp, cp)
+    try:
+        with ses.ControlSession(host_ip="127.0.0.1", state_port=sp,
+                                cmd_port=cp) as session:
+            session.init()
+            assert session.start(timeout_iters=2000)
+            stats = session.run(iterations=30, hz=200.0)
+        assert stats["sent"] == 30
+    finally:
+        robot.close()
+
+
+def test_error_test_semantics():
+    assert ses.error_test([0] * 6, [0.05] * 6, 0.1)
+    assert not ses.error_test([0] * 6, [0.05, 0.2, 0, 0, 0, 0], 0.1)
+
+
+def test_square_wave_torque():
+    t0 = ses.square_wave_torque(0)
+    t1 = ses.square_wave_torque(1000)
+    np.testing.assert_allclose(t0[[0, 3]], 20.0)
+    np.testing.assert_allclose(t1[[0, 3]], -20.0)
+    assert (t0[[1, 2, 4, 5]] == 0).all()
