@@ -1,0 +1,101 @@
+"""RNEA inverse-dynamics validation (models/dynamics.py).
+
+The reference defers to pinocchio::rnea; here the implementation is
+validated from first principles:
+  * gravity torques must equal the gradient of potential energy (autodiff)
+  * inertial torques must match tau = M(q) ddq with M from unit-ddq probes
+    (symmetry + consistency)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_limx_control_tpu.core.config import LegOffsets
+from mpc_limx_control_tpu.models import dynamics as dyn
+from mpc_limx_control_tpu.models.kinematics import _rx, _ry, leg_geometry
+
+P = dyn.LegInertialParams()
+OFF = LegOffsets()
+
+
+def _com_positions(q):
+    """COM world (base-frame) positions of the three links, for potential
+    energy."""
+    geom = leg_geometry(OFF, "left", q.dtype)
+    r1 = _rx(q[..., 0])
+    r12 = r1 @ _ry(q[..., 1])
+    r123 = r12 @ _ry(q[..., 2])
+    coms = [jnp.asarray(P.com_abad, q.dtype),
+            jnp.asarray(P.com_hip, q.dtype),
+            jnp.asarray(P.com_knee, q.dtype)]
+    p1 = geom.abad + jnp.einsum("...ij,j->...i", r1, coms[0])
+    o2 = geom.abad + jnp.einsum("...ij,j->...i", r1, geom.hip)
+    p2 = o2 + jnp.einsum("...ij,j->...i", r12, coms[1])
+    o3 = o2 + jnp.einsum("...ij,j->...i", r12, geom.knee)
+    p3 = o3 + jnp.einsum("...ij,j->...i", r123, coms[2])
+    return p1, p2, p3
+
+
+def test_gravity_torques_match_potential_gradient():
+    def potential(q):
+        p1, p2, p3 = _com_positions(q)
+        m = P.masses
+        return 9.81 * (m[0] * p1[2] + m[1] * p2[2] + m[2] * p3[2])
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        q = jnp.asarray(rng.uniform(-0.8, 0.8, 3))
+        tau_rnea = dyn.gravity_torques(q)
+        tau_grad = jax.grad(potential)(q)
+        np.testing.assert_allclose(np.asarray(tau_rnea),
+                                   np.asarray(tau_grad), atol=1e-8)
+
+
+def test_mass_matrix_symmetric_posdef():
+    q = jnp.asarray([0.2, -0.4, 0.6])
+    z = jnp.zeros(3)
+    tau_g = dyn.rnea(q, z, z)
+
+    cols = []
+    for j in range(3):
+        ddq = jnp.zeros(3).at[j].set(1.0)
+        cols.append(np.asarray(dyn.rnea(q, z, ddq) - tau_g))
+    M = np.stack(cols, axis=1)
+    np.testing.assert_allclose(M, M.T, atol=1e-8)
+    assert (np.linalg.eigvalsh(M) > 0).all()
+
+
+def test_rnea_batched():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (8, 3)))
+    dq = jnp.asarray(rng.uniform(-1, 1, (8, 3)))
+    ddq = jnp.asarray(rng.uniform(-5, 5, (8, 3)))
+    tau = dyn.rnea(q, dq, ddq)
+    assert tau.shape == (8, 3)
+    tau0 = dyn.rnea(q[0], dq[0], ddq[0])
+    np.testing.assert_allclose(np.asarray(tau[0]), np.asarray(tau0),
+                               atol=1e-10)
+
+
+def test_coriolis_energy_identity():
+    """Passivity: dq' C(q,dq)dq = 1/2 dq' dM/dt dq (equivalently
+    dq'(dM/dt - 2C)dq = 0)."""
+
+    def mass_matrix(q):
+        z = jnp.zeros(3)
+        tau_g = dyn.rnea(q, z, z, gravity=0.0)
+        cols = [dyn.rnea(q, z, jnp.zeros(3).at[j].set(1.0), gravity=0.0)
+                - tau_g for j in range(3)]
+        return jnp.stack(cols, axis=1)
+
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        q = jnp.asarray(rng.uniform(-0.8, 0.8, 3))
+        dq = jnp.asarray(rng.uniform(-2, 2, 3))
+        tau_c = dyn.rnea(q, dq, jnp.zeros(3), gravity=0.0)
+        power = float(jnp.dot(dq, tau_c))
+        dM = jax.jacfwd(mass_matrix)(q)          # [3,3,3]
+        Mdot = jnp.einsum("ijk,k->ij", dM, dq)
+        expected = 0.5 * float(dq @ Mdot @ dq)
+        np.testing.assert_allclose(power, expected, atol=1e-8)
