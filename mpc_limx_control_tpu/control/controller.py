@@ -197,12 +197,18 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
 
 def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
-         iteration: jnp.ndarray):
+         iteration: jnp.ndarray, grf_override: jnp.ndarray | None = None):
     """One 1 kHz control tick for ONE scenario (vmap for batches).
 
     Returns (RobotCmd, TickDiagnostics).  Mirrors MPC::run
     (include/MPCController.h:183-196): gait clock -> foot placement ->
     swing trajectory + IK -> (new) stance GRF MPC -> command packing.
+
+    `grf_override` [6]: skip the MPC solve and use the given stance force —
+    the intermediate-tick path of the reference's dtMPC schedule, which
+    re-solves the MPC only every mpcStep = 5 control ticks
+    (include/MPCParam.h:46-47) while the swing tracking runs at the full
+    1 kHz rate.
     """
     dtype = odom.pos.dtype
     iteration = jnp.asarray(iteration, dtype)
@@ -265,12 +271,32 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
         arm_l = jnp.where(gait.left_swing, target_w, p_l_w)
         arm_r = jnp.where(gait.left_swing, p_r_w, target_w)
     if cfg.mode == "stand":
-        grf, residual, xi_pred = stance_mpc(
-            cfg, odom, arm_l, arm_r, on_l, on_r, v_des, yaw_rate_des,
-            pos_anchor=pos_anchor)
+        if grf_override is None:
+            grf, residual, xi_pred = stance_mpc(
+                cfg, odom, arm_l, arm_r, on_l, on_r, v_des, yaw_rate_des,
+                pos_anchor=pos_anchor)
+        else:
+            grf = grf_override
+            residual = jnp.zeros_like(odom.pos[..., 0])
+            xi_pred = srbd.initial_state(odom.ori, odom.pos, odom.v_ori,
+                                         odom.v_pos)
     else:
-        grf, residual, xi_pred = stance_mpc_single_support(
-            cfg, odom, arm_l, arm_r, on_l, v_des, yaw_rate_des)
+        if grf_override is None:
+            grf, residual, xi_pred = stance_mpc_single_support(
+                cfg, odom, arm_l, arm_r, on_l, v_des, yaw_rate_des)
+        else:
+            # held-force tick of the dtMPC schedule: when the gait phase
+            # switched since the solve, the held force belongs to the foot
+            # now in stance
+            left_stance_now = on_l[..., 0] > 0.5
+            f_any = grf_override[..., :3] + grf_override[..., 3:]
+            zeros3 = jnp.zeros_like(f_any)
+            grf = jnp.where(left_stance_now,
+                            jnp.concatenate([f_any, zeros3], -1),
+                            jnp.concatenate([zeros3, f_any], -1))
+            residual = jnp.zeros_like(odom.pos[..., 0])
+            xi_pred = srbd.initial_state(odom.ori, odom.pos, odom.v_ori,
+                                         odom.v_pos)
 
     f_l_w, f_r_w = grf[..., :3], grf[..., 3:]
     f_l_b = jnp.einsum("...ji,...j->...i", R_wb, f_l_w)

@@ -78,15 +78,20 @@ def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
 
 
 def plant_step(cfg: ControllerConfig, state: PlantState,
-               iteration: jnp.ndarray):
-    """One 1 kHz simulation tick for ONE scenario (vmap for batches)."""
+               iteration: jnp.ndarray, grf_override=None):
+    """One 1 kHz simulation tick for ONE scenario (vmap for batches).
+
+    With `grf_override`, the MPC solve is skipped and the given force held
+    (the intermediate ticks of the reference's mpcStep = 5 / dtMPC = 5 ms
+    re-solve schedule, include/MPCParam.h:46-47)."""
     dtype = state.xi.dtype
     iteration = jnp.asarray(iteration, dtype)
     odom = _odom_from_xi(state.xi)
     joints = JointState(q=state.q, dq=jnp.zeros_like(state.q),
                         tau=jnp.zeros_like(state.q))
 
-    cmd, diag = ctrl.tick(cfg, odom, joints, iteration)
+    cmd, diag = ctrl.tick(cfg, odom, joints, iteration,
+                          grf_override=grf_override)
 
     # ---- SRBD dynamics with the commanded GRF ------------------------
     yaw = state.xi[..., 2]
@@ -157,20 +162,46 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
 
 
 def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
-            start_iteration: int = 0):
+            start_iteration: int = 0, mpc_every: int = 1):
     """Closed-loop simulation for ONE scenario; returns (final, metrics)
-    with metrics stacked over time on axis 0."""
+    with metrics stacked over time on axis 0.
 
-    def body(s, it):
-        return plant_step(cfg, s, it)
+    mpc_every > 1 reproduces the reference's dtMPC schedule: the GRF MPC
+    is re-solved every `mpc_every` ticks (reference mpcStep = 5,
+    include/MPCParam.h:46-47) and the force held in between, while gait,
+    swing tracking, and the plant run at the full control rate.
+    """
+    if mpc_every == 1:
+        def body(s, it):
+            return plant_step(cfg, s, it)
 
-    its = jnp.arange(start_iteration, start_iteration + steps,
-                     dtype=state0.xi.dtype)
-    return lax.scan(body, state0, its)
+        its = jnp.arange(start_iteration, start_iteration + steps,
+                         dtype=state0.xi.dtype)
+        return lax.scan(body, state0, its)
+
+    assert steps % mpc_every == 0, (steps, mpc_every)
+
+    def block(s, it0):
+        s, m0 = plant_step(cfg, s, it0)
+        grf = m0["grf"]
+        ms = [m0]
+        for j in range(1, mpc_every):
+            s, mj = plant_step(cfg, s, it0 + j, grf_override=grf)
+            ms.append(mj)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *ms)
+        return s, stacked
+
+    it0s = jnp.arange(start_iteration, start_iteration + steps, mpc_every,
+                      dtype=state0.xi.dtype)
+    final, metrics = lax.scan(block, state0, it0s)
+    metrics = jax.tree.map(
+        lambda x: x.reshape(steps, *x.shape[2:]), metrics)
+    return final, metrics
 
 
 def batched_rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
-                    start_iteration: int = 0):
+                    start_iteration: int = 0, mpc_every: int = 1):
     """vmap of rollout over the leading batch axis of state0."""
     return jax.vmap(
-        lambda s: rollout(cfg, s, steps, start_iteration))(state0)
+        lambda s: rollout(cfg, s, steps, start_iteration, mpc_every))(
+        state0)
