@@ -45,6 +45,7 @@ class TickDiagnostics(NamedTuple):
     foot_target: jnp.ndarray   # [..., 3]
     swing_q: jnp.ndarray       # [..., 3]
     predicted_xi: jnp.ndarray  # [..., 13] one-step-ahead SRBD state
+    qp_state: tuple            # (z, lambda) for warm-starting the next tick
 
 
 def _cone_single(cfg: ControllerConfig, dtype):
@@ -146,7 +147,8 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
 def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
                               arm_l: jnp.ndarray, arm_r: jnp.ndarray,
                               left_stance: jnp.ndarray, v_des: jnp.ndarray,
-                              yaw_rate_des: jnp.ndarray):
+                              yaw_rate_des: jnp.ndarray,
+                              qp_warm=None):
     """Walking-gait GRF MPC: exactly ONE stance foot per horizon step, so
     the decision variable is the 3-vector GRF of *the scheduled foot* at
     each step (nz = 3N) instead of a 6-vector with half its columns gated
@@ -184,8 +186,14 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
     qp = cnd.condense(Ad_t, Bd_t, Q, R, P, N, xi0, x_ref,
                       None, None, extra_G=G, extra_h=h)
-    solver = qps.make_pdip(iters=c.solver.iters)
-    sol = solver(qp.H, qp.f, qp.G, qp.h)
+    if qp_warm is None:
+        solver = qps.make_pdip(iters=c.solver.iters)
+        sol = solver(qp.H, qp.f, qp.G, qp.h)
+        qp_state = (sol.u, jnp.ones_like(qp.h))
+    else:
+        solver = qps.make_pdip_warm(iters=c.solver.warm_iters)
+        sol, qp_state = solver(qp.H, qp.f, qp.G, qp.h,
+                               qp_warm[0], qp_warm[1])
     u0 = sol.u[:3]
     left_now = on_l[0] > 0.5
     zeros3 = jnp.zeros_like(u0)
@@ -193,11 +201,12 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
                     jnp.concatenate([u0, zeros3], -1),
                     jnp.concatenate([zeros3, u0], -1))
     xi_pred = qp.A_blocks[1] @ xi0 + qp.B_blocks[1, 0] @ u0
-    return grf, sol.residual, xi_pred
+    return grf, sol.residual, xi_pred, qp_state
 
 
 def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
-         iteration: jnp.ndarray, grf_override: jnp.ndarray | None = None):
+         iteration: jnp.ndarray, grf_override: jnp.ndarray | None = None,
+         qp_warm=None):
     """One 1 kHz control tick for ONE scenario (vmap for batches).
 
     Returns (RobotCmd, TickDiagnostics).  Mirrors MPC::run
@@ -275,15 +284,18 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
             grf, residual, xi_pred = stance_mpc(
                 cfg, odom, arm_l, arm_r, on_l, on_r, v_des, yaw_rate_des,
                 pos_anchor=pos_anchor)
+            qp_state = qp_warm
         else:
             grf = grf_override
             residual = jnp.zeros_like(odom.pos[..., 0])
             xi_pred = srbd.initial_state(odom.ori, odom.pos, odom.v_ori,
                                          odom.v_pos)
+            qp_state = qp_warm
     else:
         if grf_override is None:
-            grf, residual, xi_pred = stance_mpc_single_support(
-                cfg, odom, arm_l, arm_r, on_l, v_des, yaw_rate_des)
+            grf, residual, xi_pred, qp_state = stance_mpc_single_support(
+                cfg, odom, arm_l, arm_r, on_l, v_des, yaw_rate_des,
+                qp_warm=qp_warm)
         else:
             # held-force tick of the dtMPC schedule: when the gait phase
             # switched since the solve, the held force belongs to the foot
@@ -297,6 +309,7 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
             residual = jnp.zeros_like(odom.pos[..., 0])
             xi_pred = srbd.initial_state(odom.ori, odom.pos, odom.v_ori,
                                          odom.v_pos)
+            qp_state = qp_warm
 
     f_l_w, f_r_w = grf[..., :3], grf[..., 3:]
     f_l_b = jnp.einsum("...ji,...j->...i", R_wb, f_l_w)
@@ -332,5 +345,5 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
         q=q_cmd, dq=jnp.zeros_like(q_cmd), tau=tau_cmd, kp=kp, kd=kd)
     diag = TickDiagnostics(gait=gait, grf=grf, qp_residual=residual,
                            foot_target=target_w, swing_q=swing_q,
-                           predicted_xi=xi_pred)
+                           predicted_xi=xi_pred, qp_state=qp_state)
     return cmd, diag

@@ -40,6 +40,10 @@ class PlantState:
     q: jnp.ndarray         # [..., 6] joint angles
     foot_l: jnp.ndarray    # [..., 3] world
     foot_r: jnp.ndarray    # [..., 3] world
+    # warm-start state of the GRF QP (cfg.qp_warm_start): stacked controls
+    # z [..., nz] and multipliers lambda [..., m]; None when disabled
+    qp_z: jnp.ndarray | None = None
+    qp_lam: jnp.ndarray | None = None
 
 
 def initial_plant_state(cfg: ControllerConfig, batch=(),
@@ -67,7 +71,14 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
     q_l = kin.inverse_kinematics_analytic(gl, foot_l - pos, zero3)
     q_r = kin.inverse_kinematics_analytic(gr, foot_r - pos, zero3)
     q = jnp.concatenate([q_l, q_r], axis=-1)
-    return PlantState(xi=xi, q=q, foot_l=foot_l, foot_r=foot_r)
+
+    qp_z = qp_lam = None
+    if cfg.qp_warm_start and cfg.mode == "walk":
+        N = cfg.srbd.horizon
+        qp_z = jnp.zeros((*batch, 3 * N), dtype)
+        qp_lam = jnp.ones((*batch, 6 * N), dtype)
+    return PlantState(xi=xi, q=q, foot_l=foot_l, foot_r=foot_r,
+                      qp_z=qp_z, qp_lam=qp_lam)
 
 
 def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
@@ -90,8 +101,11 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
     joints = JointState(q=state.q, dq=jnp.zeros_like(state.q),
                         tau=jnp.zeros_like(state.q))
 
+    qp_warm = None
+    if cfg.qp_warm_start and cfg.mode == "walk":
+        qp_warm = (state.qp_z, state.qp_lam)
     cmd, diag = ctrl.tick(cfg, odom, joints, iteration,
-                          grf_override=grf_override)
+                          grf_override=grf_override, qp_warm=qp_warm)
 
     # ---- SRBD dynamics with the commanded GRF ------------------------
     yaw = state.xi[..., 2]
@@ -125,7 +139,8 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
                            state.foot_r - base_new), state.q[..., 3:])
         new_state = PlantState(xi=xi_new,
                                q=jnp.concatenate([q_l, q_r], -1),
-                               foot_l=state.foot_l, foot_r=state.foot_r)
+                               foot_l=state.foot_l, foot_r=state.foot_r,
+                               qp_z=state.qp_z, qp_lam=state.qp_lam)
     else:
         # swing leg executes its command; stance leg keeps its foot pinned
         q_sw = jnp.where(left_swing[..., None], cmd.q[..., :3],
@@ -148,8 +163,13 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
             left_swing[..., None],
             jnp.concatenate([q_sw, q_st_r], -1),
             jnp.concatenate([q_st_l, q_sw], -1))
+        if cfg.qp_warm_start and diag.qp_state is not None:
+            qp_z, qp_lam = diag.qp_state
+        else:
+            qp_z, qp_lam = state.qp_z, state.qp_lam
         new_state = PlantState(xi=xi_new, q=q_new,
-                               foot_l=foot_l, foot_r=foot_r)
+                               foot_l=foot_l, foot_r=foot_r,
+                               qp_z=qp_z, qp_lam=qp_lam)
 
     metrics = {
         "height": xi_new[..., 5],

@@ -135,6 +135,7 @@ class SolverConfig:
 
     method: str = "pdip"         # "pdip" | "admm"
     iters: int = 20              # fixed Newton / ADMM iteration count
+    warm_iters: int = 6          # iteration count when warm-started
     admm_rho: float = 1.0
     admm_alpha: float = 1.6      # over-relaxation
     pdip_mu_min: float = 1e-12
@@ -268,6 +269,9 @@ class ControllerConfig:
     # (src/mpc_control_fake_state.cpp:37-38)
     kp: float = 60.0
     kd: float = 3.0
+    # Thread (z, lambda) from tick to tick and warm-start the GRF QP
+    # (solver.warm_iters Newton steps instead of solver.iters).
+    qp_warm_start: bool = False
     # Swing IK: "analytic" closed-form 3-DoF point-foot IK (preferred) or
     # "damped_ls" fixed-iteration 6D-log damped least squares matching
     # include/pinocchio_kinematics.h:61-149.
@@ -287,7 +291,10 @@ class ControllerConfig:
             srbd=SRBDConfig.walking(),
             desired_velocity=tuple(float(v) for v in velocity),
             capture_gain_scale=0.6,
-            mode="walk")
+            mode="walk",
+            # primal-only warm start across ticks: 6 Newton steps match
+            # 12 cold steps bit-for-bit in closed loop (tests/test_walking)
+            qp_warm_start=True)
 
     @classmethod
     def standing(cls) -> "ControllerConfig":

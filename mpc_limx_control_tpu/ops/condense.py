@@ -59,7 +59,10 @@ def prediction_matrices(Ad: jnp.ndarray, Bd: jnp.ndarray, N: int):
         phi_next = a_t @ phi
         return phi_next, phi_next
 
-    _, phis = lax.scan(step_a, eye, Ad)
+    # full unroll: N is small (15-20) and the per-step matmuls are tiny;
+    # unrolling lets XLA fuse the whole chain instead of paying scan
+    # latency per step
+    _, phis = lax.scan(step_a, eye, Ad, unroll=True)
     A_blocks = jnp.concatenate([eye[None], phis], axis=0)
 
     # Row recursion: G_i = Ad_{i-1} @ G_{i-1} + e_{i-1} (x) Bd_{i-1}.
@@ -74,7 +77,7 @@ def prediction_matrices(Ad: jnp.ndarray, Bd: jnp.ndarray, N: int):
         return g, g
 
     g0 = jnp.zeros((N, nx, nu), dtype)
-    _, rows = lax.scan(step_b, g0, (Ad, Bd, onehot))
+    _, rows = lax.scan(step_b, g0, (Ad, Bd, onehot), unroll=True)
     B_blocks = jnp.concatenate([g0[None], rows], axis=0)
     return A_blocks, B_blocks
 
