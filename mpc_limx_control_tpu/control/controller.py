@@ -111,10 +111,10 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
 
     # Per-foot linearization at the operating point (per-foot moment arm
     # constant over the horizon; the schedule gates which columns act).
-    _, Bc_l = srbd.linearize(cfg.robot, arm_l, odom.pos, yaw, dtype)
-    Ac, Bc_r = srbd.linearize(cfg.robot, arm_r, odom.pos, yaw, dtype)
-    Bc = jnp.concatenate([Bc_l, Bc_r], axis=-1)         # [13, 6]
-    Ad, Bd = dsc.zoh_taylor(Ac, Bc, c.ts)
+    arms2 = jnp.stack([arm_l, arm_r], axis=-2)          # [2, 3]
+    Ac, Bc2 = srbd.linearize_shared(cfg.robot, arms2, odom.pos, yaw, dtype)
+    Bc = jnp.concatenate([Bc2[..., 0, :, :], Bc2[..., 1, :, :]], axis=-1)
+    Ad, Bd = srbd.discretize_srbd(Ac, Bc, c.ts)
 
     # LTV input gating over the horizon: zero the swing foot's columns.
     gate = jnp.concatenate([
@@ -167,10 +167,10 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
     on_l = left_stance.astype(dtype)
     arms = jnp.where(on_l[:, None] > 0.5, arm_l[None], arm_r[None])  # [N,3]
-    Ac_t, Bc_t = srbd.linearize(cfg.robot, arms,
-                                jnp.broadcast_to(odom.pos, (N, 3)),
-                                jnp.broadcast_to(yaw, (N,)), dtype)
-    Ad_t, Bd_t = dsc.zoh_taylor(Ac_t, Bc_t, c.ts)       # [N,13,13],[N,13,3]
+    # shared-yaw linearization + exact nilpotent ZOH: Ad is step-invariant
+    # (Ac does not depend on the arm), only Bd varies over the horizon
+    Ac, Bc_t = srbd.linearize_shared(cfg.robot, arms, odom.pos, yaw, dtype)
+    Ad, Bd_t = srbd.discretize_srbd(Ac, Bc_t, c.ts)     # [13,13],[N,13,3]
 
     Q = jnp.diag(jnp.asarray(c.q_diag, dtype))
     R = jnp.diag(jnp.asarray(c.r_diag, dtype))
@@ -184,7 +184,7 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     hu = jnp.asarray([0.0, 0.0, 0.0, 0.0, c.fz_max, -c.fz_min], dtype)
     h = jnp.tile(hu, N)
 
-    qp = cnd.condense(Ad_t, Bd_t, Q, R, P, N, xi0, x_ref,
+    qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
                       None, None, extra_G=G, extra_h=h)
     if qp_warm is None:
         solver = qps.make_pdip(iters=c.solver.iters)

@@ -109,8 +109,10 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
 
     # ---- SRBD dynamics with the commanded GRF ------------------------
     yaw = state.xi[..., 2]
-    _, Bc_l = srbd.linearize(cfg.robot, state.foot_l, odom.pos, yaw, dtype)
-    Ac, Bc_r = srbd.linearize(cfg.robot, state.foot_r, odom.pos, yaw, dtype)
+    feet = jnp.stack([state.foot_l, state.foot_r], axis=-2)
+    Ac, Bc2 = srbd.linearize_shared(cfg.robot, feet, odom.pos, yaw, dtype)
+    Bc_l = Bc2[..., 0, :, :]
+    Bc_r = Bc2[..., 1, :, :]
     if cfg.mode == "stand":
         on_l = jnp.ones((), dtype)
         on_r = jnp.ones((), dtype)
@@ -121,7 +123,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         on_l = 1.0 - left_swing.astype(dtype)
         on_r = left_swing.astype(dtype)
     Bc = jnp.concatenate([Bc_l * on_l, Bc_r * on_r], axis=-1)
-    Ad, Bd = dsc.zoh_taylor(Ac, Bc, cfg.gait.dt)
+    Ad, Bd = srbd.discretize_srbd(Ac, Bc, cfg.gait.dt)
     xi_new = Ad @ state.xi + Bd @ diag.grf
 
     # ---- foot / joint kinematics -------------------------------------
