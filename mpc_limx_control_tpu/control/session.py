@@ -169,6 +169,7 @@ class ControlSession:
                     q=jnp.asarray(state["q"]),
                     dq=jnp.asarray(state["dq"]),
                     tau=jnp.asarray(state["tau"]))
+                odom_raw = self.link.recv_odom()
                 if use_kf and imu_raw is not None:
                     imu = ImuData(quat=jnp.asarray(imu_raw["quat"]),
                                   acc=jnp.asarray(imu_raw["acc"]),
@@ -177,10 +178,23 @@ class ControlSession:
                     out = self._est_tick(self.kf, joints, imu, contact)
                     self.kf = out.kf
                     odom = out.odom
+                elif odom_raw is not None:
+                    # fake-estimator path: ground-truth odometry over the
+                    # wire (the Gazebo-truth feed of the reference,
+                    # include/state_estimator_fake.h:44-85)
+                    from mpc_limx_control_tpu.utils import rotations as rotu
+                    quat = jnp.asarray(odom_raw["quat"])
+                    self._last_odom = OdomState(
+                        pos=jnp.asarray(odom_raw["pos"]),
+                        ori=rotu.quat_to_rpy(quat),
+                        quat=quat,
+                        v_pos=jnp.asarray(odom_raw["v_pos"]),
+                        v_ori=jnp.asarray(odom_raw["v_ori"]))
+                    odom = self._last_odom
+                elif getattr(self, "_last_odom", None) is not None:
+                    odom = self._last_odom
                 else:
-                    # fake-estimator path: perfect odometry must be fed by
-                    # the host (e.g. the loopback simulator publishes pose
-                    # in the IMU slot) — default to a nominal standing pose
+                    # no truth source yet — nominal standing pose
                     odom = OdomState.zeros(()).replace(
                         pos=jnp.asarray([0.0, 0.0, self.cfg.base_height]))
                 cmd, diag = self._tick(odom, joints,

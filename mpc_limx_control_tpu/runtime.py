@@ -74,6 +74,14 @@ class _RobotCmd(C.Structure):
                 ("kd", C.c_float * NUM_JOINTS)]
 
 
+class _Odom(C.Structure):
+    _fields_ = [("stamp_ns", C.c_uint64),
+                ("pos", C.c_float * 3),
+                ("quat", C.c_float * 4),
+                ("v_pos", C.c_float * 3),
+                ("v_ori", C.c_float * 3)]
+
+
 _lib = None
 
 
@@ -88,6 +96,7 @@ def _load():
     lib.pfrt_link_close.argtypes = [C.c_void_p]
     lib.pfrt_recv_state.argtypes = [C.c_void_p, C.POINTER(_RobotState)]
     lib.pfrt_recv_imu.argtypes = [C.c_void_p, C.POINTER(_ImuData)]
+    lib.pfrt_recv_odom.argtypes = [C.c_void_p, C.POINTER(_Odom)]
     lib.pfrt_send_cmd.argtypes = [C.c_void_p, C.POINTER(_RobotCmd)]
     lib.pfrt_link_state_count.restype = C.c_uint64
     lib.pfrt_link_state_count.argtypes = [C.c_void_p]
@@ -97,6 +106,7 @@ def _load():
     lib.pfrt_host_close.argtypes = [C.c_void_p]
     lib.pfrt_publish_state.argtypes = [C.c_void_p, C.POINTER(_RobotState),
                                        C.POINTER(_ImuData)]
+    lib.pfrt_publish_odom.argtypes = [C.c_void_p, C.POINTER(_Odom)]
     lib.pfrt_poll_cmd.argtypes = [C.c_void_p, C.POINTER(_RobotCmd)]
     lib.pfrt_host_cmd_count.restype = C.c_uint64
     lib.pfrt_host_cmd_count.argtypes = [C.c_void_p]
@@ -150,6 +160,16 @@ class RobotLink:
             return None
         return {"stamp_ns": d.stamp_ns, "quat": _arr(d.quat),
                 "acc": _arr(d.acc), "gyro": _arr(d.gyro)}
+
+    def recv_odom(self):
+        """Latest ground-truth odometry (the fake-estimator feed), or
+        None if stale."""
+        o = _Odom()
+        if self._lib.pfrt_recv_odom(self._h, C.byref(o)) != 1:
+            return None
+        return {"stamp_ns": o.stamp_ns, "pos": _arr(o.pos),
+                "quat": _arr(o.quat), "v_pos": _arr(o.v_pos),
+                "v_ori": _arr(o.v_ori)}
 
     def send_cmd(self, q, dq=None, tau=None, kp=None, kd=None, mode=None,
                  stamp_ns: int = 0):
@@ -218,6 +238,20 @@ class RobotHost:
         rc = self._lib.pfrt_publish_state(self._h, C.byref(s), C.byref(d))
         if rc != 0:
             raise OSError(f"pfrt_publish_state: {rc}")
+
+    def publish_odom(self, pos, quat=(0, 0, 0, 1), v_pos=(0, 0, 0),
+                     v_ori=(0, 0, 0), stamp_ns: int = 0):
+        o = _Odom()
+        o.stamp_ns = stamp_ns
+        for i in range(3):
+            o.pos[i] = float(pos[i])
+            o.v_pos[i] = float(v_pos[i])
+            o.v_ori[i] = float(v_ori[i])
+        for i in range(4):
+            o.quat[i] = float(quat[i])
+        rc = self._lib.pfrt_publish_odom(self._h, C.byref(o))
+        if rc != 0:
+            raise OSError(f"pfrt_publish_odom: {rc}")
 
     def poll_cmd(self):
         c = _RobotCmd()

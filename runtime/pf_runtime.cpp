@@ -18,6 +18,7 @@ namespace {
 constexpr uint16_t kTypeState = 1;
 constexpr uint16_t kTypeImu = 2;
 constexpr uint16_t kTypeCmd = 3;
+constexpr uint16_t kTypeOdom = 4;
 
 struct WireHeader {
   uint32_t magic;
@@ -128,7 +129,8 @@ struct pfrt_link {
   std::atomic<bool> running{false};
   Mailbox<pfrt_robot_state> state_box;
   Mailbox<pfrt_imu_data> imu_box;
-  uint64_t state_last = 0, imu_last = 0;
+  Mailbox<pfrt_odom> odom_box;
+  uint64_t state_last = 0, imu_last = 0, odom_last = 0;
   uint64_t cmd_seq = 0;
 };
 
@@ -139,10 +141,13 @@ static void link_rx_loop(pfrt_link *l) {
     if (n <= 0) continue; /* timeout tick to re-check running */
     pfrt_robot_state s;
     pfrt_imu_data imu;
+    pfrt_odom od;
     if (parse_packet(buf, n, kTypeState, &s)) {
       l->state_box.write(s);
     } else if (parse_packet(buf, n, kTypeImu, &imu)) {
       l->imu_box.write(imu);
+    } else if (parse_packet(buf, n, kTypeOdom, &od)) {
+      l->odom_box.write(od);
     }
   }
 }
@@ -179,6 +184,10 @@ int pfrt_recv_state(pfrt_link *l, pfrt_robot_state *out) {
 
 int pfrt_recv_imu(pfrt_link *l, pfrt_imu_data *out) {
   return l->imu_box.read_fresh(out, &l->imu_last);
+}
+
+int pfrt_recv_odom(pfrt_link *l, pfrt_odom *out) {
+  return l->odom_box.read_fresh(out, &l->odom_last);
 }
 
 int pfrt_send_cmd(pfrt_link *l, const pfrt_robot_cmd *cmd) {
@@ -261,6 +270,11 @@ int pfrt_publish_state(pfrt_host *h, const pfrt_robot_state *s,
                      *imu);
   }
   return rc;
+}
+
+int pfrt_publish_odom(pfrt_host *h, const pfrt_odom *o) {
+  return send_packet(h->state_fd, h->state_addr, kTypeOdom, ++h->state_seq,
+                     *o);
 }
 
 int pfrt_poll_cmd(pfrt_host *h, pfrt_robot_cmd *out) {

@@ -58,6 +58,16 @@ typedef struct {
   float kd[PFRT_NUM_JOINTS];
 } pfrt_robot_cmd;
 
+/* Ground-truth odometry (the RobotOdomState the fake estimator reads from
+ * Gazebo, reference include/state_estimator_fake.h:19-25). */
+typedef struct {
+  uint64_t stamp_ns;
+  float pos[3];
+  float quat[4]; /* x, y, z, w */
+  float v_pos[3];
+  float v_ori[3];
+} pfrt_odom;
+
 typedef struct pfrt_link pfrt_link;   /* controller side */
 typedef struct pfrt_host pfrt_host;   /* robot / simulator side */
 
@@ -70,6 +80,7 @@ void pfrt_link_close(pfrt_link *l);
  * negative on error. */
 int pfrt_recv_state(pfrt_link *l, pfrt_robot_state *out);
 int pfrt_recv_imu(pfrt_link *l, pfrt_imu_data *out);
+int pfrt_recv_odom(pfrt_link *l, pfrt_odom *out);
 int pfrt_send_cmd(pfrt_link *l, const pfrt_robot_cmd *cmd);
 /* counters for observability */
 uint64_t pfrt_link_state_count(const pfrt_link *l);
@@ -79,6 +90,7 @@ pfrt_host *pfrt_serve(uint16_t state_port, uint16_t cmd_port);
 void pfrt_host_close(pfrt_host *h);
 int pfrt_publish_state(pfrt_host *h, const pfrt_robot_state *s,
                        const pfrt_imu_data *imu);
+int pfrt_publish_odom(pfrt_host *h, const pfrt_odom *o);
 int pfrt_poll_cmd(pfrt_host *h, pfrt_robot_cmd *out); /* 1 fresh / 0 stale */
 uint64_t pfrt_host_cmd_count(const pfrt_host *h);
 

@@ -95,6 +95,25 @@ def test_session_mpc_loop(robot_ports):
         robot.close()
 
 
+def test_odometry_over_the_wire(robot_ports):
+    sp, cp = robot_ports
+    robot = LoopbackRobot(sp, cp)
+    try:
+        with rt.RobotLink("127.0.0.1", sp, cp) as link:
+            deadline = time.time() + 2.0
+            got = None
+            while got is None and time.time() < deadline:
+                robot.host.publish_odom(
+                    pos=(0.1, 0.2, 0.65), v_pos=(0.5, 0, 0), stamp_ns=5)
+                time.sleep(0.002)
+                got = link.recv_odom()
+        assert got is not None
+        np.testing.assert_allclose(got["pos"], [0.1, 0.2, 0.65], atol=1e-7)
+        np.testing.assert_allclose(got["v_pos"], [0.5, 0, 0], atol=1e-7)
+    finally:
+        robot.close()
+
+
 def test_error_test_semantics():
     assert ses.error_test([0] * 6, [0.05] * 6, 0.1)
     assert not ses.error_test([0] * 6, [0.05, 0.2, 0, 0, 0, 0], 0.1)
