@@ -208,6 +208,8 @@ def _batched_pdip(H, f, G, h, iters: int, use_pallas: bool,
                 lam_warm = _pad_to(lam_warm, B_pad, 1.0)
 
         def spd_solve2(M, r1, r2):
+            # factor once, solve both rhs (a fused posdef_solve per call
+            # was measured slower in-scan: it refactors for the corrector)
             L = chol_pallas.cholesky(M + reg * eye)
             rhs = jnp.stack([r1, r2], axis=-1)          # [B, n, 2]
             out = chol_pallas.chol_solve(L, rhs)
