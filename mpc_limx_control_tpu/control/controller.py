@@ -186,7 +186,17 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
     qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
                       None, None, extra_G=G, extra_h=h)
-    if qp_warm is None:
+    if c.solver.method == "admm":
+        # single-factorization ADMM alternative (SolverConfig.method):
+        # cheapest per iteration, useful when many iterations are
+        # acceptable; warm start not threaded on this path
+        lb = jnp.full_like(qp.h, -jnp.inf)
+        sol = qps.admm_qp(qp.H, qp.f, qp.G, lb, qp.h,
+                          iters=max(50, c.solver.iters),
+                          rho=c.solver.admm_rho,
+                          alpha=c.solver.admm_alpha)
+        qp_state = (sol.u, jnp.ones_like(qp.h))
+    elif qp_warm is None:
         solver = qps.make_pdip(iters=c.solver.iters)
         sol = solver(qp.H, qp.f, qp.G, qp.h)
         qp_state = (sol.u, jnp.ones_like(qp.h))

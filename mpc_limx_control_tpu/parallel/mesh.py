@@ -31,6 +31,29 @@ from mpc_limx_control_tpu.core.config import ControllerConfig
 from mpc_limx_control_tpu.control import rollout as ro
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Bring up jax.distributed for a multi-host pod slice and return the
+    global device count.
+
+    On single-host (or when no coordinator is configured) this is a no-op
+    returning the local device count.  After initialization,
+    :func:`make_mesh` over `jax.devices()` spans all hosts and the same
+    sharded step functions run unchanged — per-host shards stay local,
+    cross-host traffic is only the psum'd statistics (DCN-tolerant).
+    """
+    if coordinator_address is None:
+        import os
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    return len(jax.devices())
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis_name: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
