@@ -185,6 +185,102 @@ def chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return _to_batch_first(Xt)
 
 
+def _posdef_fast_kernel(n: int, k: int, m_ref, b_ref, x_ref, A, Y, diag):
+    """Column-oriented in-place factor + solves using scratch REFS.
+
+    Layout: A [n(col), n(row), L] — A[j] is column j as a [n, L] tile, so
+    every access the algorithm needs (pivot, column scale, both
+    substitutions) is a cheap dynamic-leading-index ref read; the only
+    full-matrix traffic is the one rank-1 trailing update per column.
+    """
+    L = A.shape[-1]
+    r2 = lax.broadcasted_iota(jnp.int32, (n, L), 0)
+    rc_mask_row = lax.broadcasted_iota(jnp.int32, (n, n, L), 0)
+    rc_mask_col = lax.broadcasted_iota(jnp.int32, (n, n, L), 1)
+    rk = lax.broadcasted_iota(jnp.int32, (n, k, L), 0)
+
+    # M is symmetric: its rows equal its columns, so the input block can be
+    # copied straight into the column-major scratch.
+    A[:] = m_ref[:]
+    Y[:] = b_ref[:]
+
+    def chol_step(j, _):
+        col = A[j]                                      # [n, L]
+        d = jnp.maximum(
+            jnp.sum(jnp.where(r2 == j, col, 0.0), axis=0), 1e-30)
+        inv = lax.rsqrt(d)
+        colj = jnp.where(r2 > j, col * inv[None, :], 0.0)
+        sq = jnp.sqrt(d)
+        A[j] = colj + jnp.where(r2 == j, sq[None, :], 0.0)
+        diag[j] = sq[None, :]
+        trail = (rc_mask_row > j) & (rc_mask_col > j)
+        # one full-matrix rank-1 update (column-major: [c, r, L])
+        A[:] = A[:] - jnp.where(trail,
+                                colj[:, None, :] * colj[None, :, :], 0.0)
+        return 0
+
+    lax.fori_loop(0, n, chol_step, 0)
+
+    def fwd_step(j, _):
+        dj = jnp.maximum(jnp.sum(jnp.where(r2 == j, diag[:, 0, :], 0.0),
+                                 axis=0), 1e-30)        # [L]
+        yj = jnp.sum(jnp.where(rk == j, Y[:], 0.0), axis=0) / dj[None, :]
+        colj = jnp.where(r2 > j, A[j], 0.0)             # [n, L]
+        Y[:] = (jnp.where(rk == j, yj[None, :, :], Y[:])
+                - jnp.where(rk > j, colj[:, None, :] * yj[None, :, :],
+                            0.0))
+        return 0
+
+    lax.fori_loop(0, n, fwd_step, 0)
+
+    def bwd_step(t, _):
+        j = n - 1 - t
+        dj = jnp.maximum(jnp.sum(jnp.where(r2 == j, diag[:, 0, :], 0.0),
+                                 axis=0), 1e-30)
+        colj = jnp.where(r2 > j, A[j], 0.0)             # rows > j
+        partial = jnp.sum(colj[:, None, :] * Y[:], axis=0)   # [k, L]
+        yj = jnp.sum(jnp.where(rk == j, Y[:], 0.0), axis=0)
+        xj = (yj - partial) / dj[None, :]
+        Y[:] = jnp.where(rk == j, xj[None, :, :], Y[:])
+        return 0
+
+    lax.fori_loop(0, n, bwd_step, 0)
+    x_ref[:] = Y[:]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def posdef_solve_fast(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Column-oriented fused SPD solve: M [B,n,n] (symmetric), rhs
+    [B,n,k] -> M^{-1} rhs.  Faster than posdef_solve: the factorization
+    does one full-matrix pass per column instead of ~4 masked
+    extractions, and both substitutions touch only [n,L]/[n,k,L] tiles."""
+    B, n, _ = M.shape
+    k = rhs.shape[-1]
+    assert B % LANES == 0, B
+    Mt = _to_batch_last(M)
+    Bt = _to_batch_last(rhs)
+    kernel = functools.partial(_posdef_fast_kernel, n, k)
+    Xt = pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, k, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k, B), rhs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), M.dtype),     # A (column-major)
+            pltpu.VMEM((n, k, LANES), rhs.dtype),   # Y
+            pltpu.VMEM((n, 1, LANES), M.dtype),     # diag
+        ],
+    )(Mt, Bt)
+    return _to_batch_first(Xt)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def posdef_solve(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Fused batched SPD solve: M [B,n,n], rhs [B,n,k] -> M^{-1} rhs."""

@@ -207,27 +207,26 @@ def _batched_pdip(H, f, G, h, iters: int, use_pallas: bool,
                 z_warm = _pad_to(z_warm, B_pad, 0.0)
                 lam_warm = _pad_to(lam_warm, B_pad, 1.0)
 
-        def spd_solve2(M, r1, r2):
-            # factor once, solve both rhs (a fused posdef_solve per call
-            # was measured slower in-scan: it refactors for the corrector)
+        def make_solver(M):
+            # factor ONCE per Newton step; affine + corrector solves share
+            # the factor (the previous structure refactored M for the
+            # corrector — 2 factorizations per iteration)
             L = chol_pallas.cholesky(M + reg * eye)
-            rhs = jnp.stack([r1, r2], axis=-1)          # [B, n, 2]
-            out = chol_pallas.chol_solve(L, rhs)
-            return out[..., 0], out[..., 1]
+            return lambda r: chol_pallas.chol_solve(
+                L, r[..., None])[..., 0]
     else:
-        def spd_solve2(M, r1, r2):
+        def make_solver(M):
             L = jnp.linalg.cholesky(M + reg * eye)
-            rhs = jnp.stack([r1, r2], axis=-1)
-            y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-            out = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L, -1, -2), y, lower=False)
-            return out[..., 0], out[..., 1]
+
+            def solve(r):
+                y = jax.scipy.linalg.solve_triangular(
+                    L, r[..., None], lower=True)
+                return jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
+
+            return solve
 
     Gt = jnp.swapaxes(G, -1, -2)
-
-    def spd_solve1(M, r1):
-        a, _ = spd_solve2(M, r1, r1)
-        return a
 
     if z_warm is not None:
         # primal-only warm start: previous solution as z0 with the same
@@ -291,10 +290,8 @@ def _batched_pdip(H, f, G, h, iters: int, use_pallas: bool,
                 "bmn,bm->bn", G, (r_comp - lam * r_prim) / s_safe)
 
         rc_aff = s * lam
-        # affine direction (need dz_a first to get sigma, then corrector;
-        # both share the factor via the 2-rhs solve once sigma is known —
-        # do affine solve, compute sigma, then corrector solve)
-        dz_a = spd_solve1(M, rhs_of(rc_aff))
+        solver = make_solver(M)        # one factorization per Newton step
+        dz_a = solver(rhs_of(rc_aff))
         ds_a = -r_prim - jnp.einsum("bmn,bn->bm", G, dz_a)
         dlam_a = -(rc_aff + lam * ds_a) / s_safe
         a_aff = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
@@ -303,7 +300,7 @@ def _batched_pdip(H, f, G, h, iters: int, use_pallas: bool,
         sigma = (mu_aff / jnp.maximum(mu, eps)) ** 3
 
         rc = s * lam - (sigma * mu)[..., None] + ds_a * dlam_a
-        dz = spd_solve1(M, rhs_of(rc))
+        dz = solver(rhs_of(rc))
         ds = -r_prim - jnp.einsum("bmn,bn->bm", G, dz)
         dlam = -(rc + lam * ds) / s_safe
         alpha = (0.99 * jnp.minimum(max_step(s, ds),
