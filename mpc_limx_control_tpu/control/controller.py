@@ -7,11 +7,12 @@ This is the TPU-native counterpart of `MPC::run`
 implemented via the intended SRBD condensed-QP GRF solve (include/mpcQP.h),
 corrected and generalized:
 
-* two-foot formulation (nu = 6: one GRF per foot) with contact gating, so
-  standing balance (both feet) and walking (alternating) are the same code
-  path;
+* walking uses the single-support formulation (one GRF per horizon step —
+  the scheduled foot's — so nz = 3N); standing uses the two-foot nu = 6
+  form with contact gating;
 * contact-scheduled LTV condensation over the horizon;
 * pyramidal friction-cone constraints instead of the placeholder +/-8 N box;
+* warm-started batched PDIP (primal threaded tick-to-tick);
 * stance joint torques tau = J^T (-R^T f) closing the loop the reference
   never wired up.
 
@@ -33,7 +34,6 @@ from mpc_limx_control_tpu.control import gait as gaitmod
 from mpc_limx_control_tpu.models import kinematics as kin
 from mpc_limx_control_tpu.models import srbd
 from mpc_limx_control_tpu.ops import condense as cnd
-from mpc_limx_control_tpu.ops import discretize as dsc
 from mpc_limx_control_tpu.ops import qp as qps
 from mpc_limx_control_tpu.utils import rotations as rot
 

@@ -30,7 +30,6 @@ from mpc_limx_control_tpu.control import controller as ctrl
 from mpc_limx_control_tpu.control import gait as gaitmod
 from mpc_limx_control_tpu.models import kinematics as kin
 from mpc_limx_control_tpu.models import srbd
-from mpc_limx_control_tpu.ops import discretize as dsc
 from mpc_limx_control_tpu.utils import rotations as rot
 
 

@@ -28,6 +28,11 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+def test_initialize_multihost_noop():
+    # without a coordinator this is a no-op returning the device count
+    assert pmesh.initialize_multihost() == len(jax.devices())
+
+
 def test_sharded_step_matches_single_device(cfg):
     B = 16
     mesh = pmesh.make_mesh()

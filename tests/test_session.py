@@ -95,6 +95,22 @@ def test_session_mpc_loop(robot_ports):
         robot.close()
 
 
+def test_session_kf_loop(robot_ports):
+    """The use_kf path: KF-estimated odometry drives the tick (the
+    intended real-hardware loop of src/mpc_control.cpp:158-192)."""
+    sp, cp = robot_ports
+    robot = LoopbackRobot(sp, cp)
+    try:
+        with ses.ControlSession(host_ip="127.0.0.1", state_port=sp,
+                                cmd_port=cp) as session:
+            stats = session.run(iterations=15, hz=100.0, use_kf=True)
+        assert stats["sent"] == 15
+        # the filter state advanced
+        assert float(abs(session.kf.x_hat).max()) > 0.0
+    finally:
+        robot.close()
+
+
 def test_odometry_over_the_wire(robot_ports):
     sp, cp = robot_ports
     robot = LoopbackRobot(sp, cp)
