@@ -61,8 +61,8 @@ def solve_tick(cfg: MPCConfig, params: LinearMPCParams, x: jnp.ndarray,
                                 params.x_min, params.x_max)
     else:
         f, h = cnd.linear_terms(params.cache, x, x_ref, cfg.u_min, cfg.u_max)
-    sol = qps.pdip_qp(params.cache.H, f, params.cache.G, h,
-                      iters=cfg.solver.iters)
+    solver = qps.make_pdip(iters=cfg.solver.iters)
+    sol = solver(params.cache.H, f, params.cache.G, h)
     return sol.u[: cfg.nu], sol
 
 
