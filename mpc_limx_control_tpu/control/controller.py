@@ -216,7 +216,8 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
 def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
          iteration: jnp.ndarray, grf_override: jnp.ndarray | None = None,
-         qp_warm=None):
+         qp_warm=None, v_des: jnp.ndarray | None = None,
+         yaw_rate_des: jnp.ndarray | None = None):
     """One 1 kHz control tick for ONE scenario (vmap for batches).
 
     Returns (RobotCmd, TickDiagnostics).  Mirrors MPC::run
@@ -231,8 +232,17 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
     """
     dtype = odom.pos.dtype
     iteration = jnp.asarray(iteration, dtype)
-    v_des = jnp.asarray(cfg.desired_velocity, dtype)
-    yaw_rate_des = jnp.asarray(cfg.desired_yaw_rate, dtype)
+    # commanded velocity: per-tick override (velocity profiles) or the
+    # config default (the reference hardcodes (1,0,0),
+    # include/MPCController.h:16)
+    if v_des is None:
+        v_des = jnp.asarray(cfg.desired_velocity, dtype)
+    else:
+        v_des = jnp.asarray(v_des, dtype)
+    if yaw_rate_des is None:
+        yaw_rate_des = jnp.asarray(cfg.desired_yaw_rate, dtype)
+    else:
+        yaw_rate_des = jnp.asarray(yaw_rate_des, dtype)
 
     gait = gaitmod.gait_clock(cfg.gait, iteration)
     target_w = gaitmod.foot_placement(cfg, gait, odom.pos, v_des,

@@ -88,12 +88,13 @@ def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
 
 
 def plant_step(cfg: ControllerConfig, state: PlantState,
-               iteration: jnp.ndarray, grf_override=None):
+               iteration: jnp.ndarray, grf_override=None, v_des=None):
     """One 1 kHz simulation tick for ONE scenario (vmap for batches).
 
     With `grf_override`, the MPC solve is skipped and the given force held
     (the intermediate ticks of the reference's mpcStep = 5 / dtMPC = 5 ms
-    re-solve schedule, include/MPCParam.h:46-47)."""
+    re-solve schedule, include/MPCParam.h:46-47).  `v_des` overrides the
+    configured velocity command for this tick (velocity profiles)."""
     dtype = state.xi.dtype
     iteration = jnp.asarray(iteration, dtype)
     odom = _odom_from_xi(state.xi)
@@ -104,7 +105,8 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
     if cfg.qp_warm_start and cfg.mode == "walk":
         qp_warm = (state.qp_z, state.qp_lam)
     cmd, diag = ctrl.tick(cfg, odom, joints, iteration,
-                          grf_override=grf_override, qp_warm=qp_warm)
+                          grf_override=grf_override, qp_warm=qp_warm,
+                          v_des=v_des)
 
     # ---- SRBD dynamics with the commanded GRF ------------------------
     yaw = state.xi[..., 2]
@@ -183,7 +185,8 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
 
 
 def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
-            start_iteration: int = 0, mpc_every: int = 1):
+            start_iteration: int = 0, mpc_every: int = 1,
+            v_des_schedule: jnp.ndarray | None = None):
     """Closed-loop simulation for ONE scenario; returns (final, metrics)
     with metrics stacked over time on axis 0.
 
@@ -193,12 +196,13 @@ def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
     swing tracking, and the plant run at the full control rate.
     """
     if mpc_every == 1:
-        def body(s, it):
-            return plant_step(cfg, s, it)
-
         its = jnp.arange(start_iteration, start_iteration + steps,
                          dtype=state0.xi.dtype)
-        return lax.scan(body, state0, its)
+        if v_des_schedule is None:
+            return lax.scan(lambda s, it: plant_step(cfg, s, it),
+                            state0, its)
+        return lax.scan(lambda s, x: plant_step(cfg, s, x[0], v_des=x[1]),
+                        state0, (its, v_des_schedule))
 
     assert steps % mpc_every == 0, (steps, mpc_every)
 
