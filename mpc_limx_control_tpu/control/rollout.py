@@ -196,8 +196,10 @@ def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
     swing tracking, and the plant run at the full control rate.
     """
     if mpc_every == 1:
-        its = jnp.arange(start_iteration, start_iteration + steps,
-                         dtype=state0.xi.dtype)
+        # start_iteration may be a traced per-scenario scalar (perturbed
+        # gait phases across the batch): keep arange static and shift
+        its = (jnp.arange(steps, dtype=state0.xi.dtype)
+               + jnp.asarray(start_iteration, state0.xi.dtype))
         if v_des_schedule is None:
             return lax.scan(lambda s, it: plant_step(cfg, s, it),
                             state0, its)
@@ -216,8 +218,8 @@ def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *ms)
         return s, stacked
 
-    it0s = jnp.arange(start_iteration, start_iteration + steps, mpc_every,
-                      dtype=state0.xi.dtype)
+    it0s = (jnp.arange(0, steps, mpc_every, dtype=state0.xi.dtype)
+            + jnp.asarray(start_iteration, state0.xi.dtype))
     final, metrics = lax.scan(block, state0, it0s)
     metrics = jax.tree.map(
         lambda x: x.reshape(steps, *x.shape[2:]), metrics)
@@ -225,8 +227,15 @@ def rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
 
 
 def batched_rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
-                    start_iteration: int = 0, mpc_every: int = 1):
-    """vmap of rollout over the leading batch axis of state0."""
+                    start_iteration=0, mpc_every: int = 1):
+    """vmap of rollout over the leading batch axis of state0.
+
+    start_iteration may be an array [B] to stagger the gait phase across
+    scenarios (BASELINE config 4: perturbed initial states/gaits)."""
+    if hasattr(start_iteration, "shape") and jnp.ndim(start_iteration) == 1:
+        return jax.vmap(
+            lambda s, it0: rollout(cfg, s, steps, it0, mpc_every))(
+            state0, start_iteration)
     return jax.vmap(
         lambda s: rollout(cfg, s, steps, start_iteration, mpc_every))(
         state0)

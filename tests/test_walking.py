@@ -76,15 +76,21 @@ def test_standing_regulates_height_and_attitude():
 
 
 def test_batched_walking_scenarios():
+    """Perturbed initial states AND staggered gait phases (config 4)."""
     cfg = ControllerConfig.walking()
     B = 4
     s0 = ro.initial_plant_state(cfg, batch=(B,))
     key = jax.random.PRNGKey(1)
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
         0.1 * jax.random.normal(key, (B,))))
+    # stagger gait phase by up to 100 ms across scenarios
+    it0 = jnp.asarray([0.0, 30.0, 60.0, 90.0], jnp.float32)
     final, m = jax.jit(
-        lambda s: ro.batched_rollout(cfg, s, 600))(s0)
+        lambda s, i0: ro.batched_rollout(cfg, s, 600,
+                                         start_iteration=i0))(s0, it0)
     h = np.asarray(m["height"])            # [B, T]
     assert h.shape == (B, 600)
     assert (h.min(axis=1) > 0.5).all()
     assert not np.isnan(np.asarray(final.xi)).any()
+    # staggered phases produce genuinely different trajectories
+    assert np.abs(h[0] - h[1]).max() > 1e-4
