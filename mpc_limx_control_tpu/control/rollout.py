@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from mpc_limx_control_tpu.core.config import ControllerConfig
-from mpc_limx_control_tpu.core.types import JointState, OdomState
+from mpc_limx_control_tpu.core.types import (ImuData, JointState, KFState,
+                                             OdomState)
 from mpc_limx_control_tpu.control import controller as ctrl
 from mpc_limx_control_tpu.control import gait as gaitmod
 from mpc_limx_control_tpu.models import kinematics as kin
@@ -43,6 +44,11 @@ class PlantState:
     # z [..., nz] and multipliers lambda [..., m]; None when disabled
     qp_z: jnp.ndarray | None = None
     qp_lam: jnp.ndarray | None = None
+    # estimator_mode == "kf": filter state + previous v/q for synthesizing
+    # IMU acceleration and joint velocities from the plant
+    kf: "KFState | None" = None
+    prev_v: jnp.ndarray | None = None
+    prev_q: jnp.ndarray | None = None
 
 
 def initial_plant_state(cfg: ControllerConfig, batch=(),
@@ -76,8 +82,21 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
         N = cfg.srbd.horizon
         qp_z = jnp.zeros((*batch, 3 * N), dtype)
         qp_lam = jnp.ones((*batch, 6 * N), dtype)
+    kf = prev_v = prev_q = None
+    if cfg.estimator_mode == "kf":
+        kf = KFState.initial(batch, cfg.estimator.initial_covariance,
+                             dtype)
+        # seed the filter at the true initial state so the transient is
+        # the filter's own, not a cold start from the origin
+        kf = kf.replace(x_hat=kf.x_hat
+                        .at[..., 0:3].set(pos)
+                        .at[..., 6:9].set(foot_l)
+                        .at[..., 9:12].set(foot_r))
+        prev_v = jnp.zeros((*batch, 3), dtype)
+        prev_q = q
     return PlantState(xi=xi, q=q, foot_l=foot_l, foot_r=foot_r,
-                      qp_z=qp_z, qp_lam=qp_lam)
+                      qp_z=qp_z, qp_lam=qp_lam,
+                      kf=kf, prev_v=prev_v, prev_q=prev_q)
 
 
 def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
@@ -97,9 +116,36 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
     configured velocity command for this tick (velocity profiles)."""
     dtype = state.xi.dtype
     iteration = jnp.asarray(iteration, dtype)
-    odom = _odom_from_xi(state.xi)
-    joints = JointState(q=state.q, dq=jnp.zeros_like(state.q),
-                        tau=jnp.zeros_like(state.q))
+    truth = _odom_from_xi(state.xi)
+
+    if cfg.estimator_mode == "kf":
+        # the controller sees the FILTER's estimate, not the truth: sensors
+        # are synthesized from the plant exactly as a robot would measure
+        # them (the intended path of src/mpc_control.cpp:158-192)
+        from mpc_limx_control_tpu.control import estimator as est
+        dt = cfg.gait.dt
+        dq = (state.q - state.prev_q) / dt
+        joints = JointState(q=state.q, dq=dq, tau=jnp.zeros_like(state.q))
+        R_wb = rot.quat_to_rot(truth.quat)
+        a_world = (truth.v_pos - state.prev_v) / dt
+        g_vec = jnp.asarray([0.0, 0.0, -9.81], dtype)
+        # accelerometer = specific force in the body frame
+        acc_body = jnp.einsum("...ji,...j->...i", R_wb, a_world - g_vec)
+        gyro_body = jnp.einsum("...ji,...j->...i", R_wb, truth.v_ori)
+        imu = ImuData(quat=truth.quat, acc=acc_body, gyro=gyro_body)
+        if cfg.mode == "stand":
+            contact = jnp.ones((*state.q.shape[:-1], 2), bool)
+        else:
+            g_clk = gaitmod.gait_clock(cfg.gait, iteration)
+            contact = jnp.stack([~g_clk.left_swing, g_clk.left_swing], -1)
+        out = est.estimator_tick(cfg, state.kf, joints, imu, contact, dt)
+        kf_new = out.kf
+        odom = out.odom
+    else:
+        kf_new = state.kf
+        odom = truth
+        joints = JointState(q=state.q, dq=jnp.zeros_like(state.q),
+                            tau=jnp.zeros_like(state.q))
 
     qp_warm = None
     if cfg.qp_warm_start and cfg.mode == "walk":
@@ -111,7 +157,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
     # ---- SRBD dynamics with the commanded GRF ------------------------
     yaw = state.xi[..., 2]
     feet = jnp.stack([state.foot_l, state.foot_r], axis=-2)
-    Ac, Bc2 = srbd.linearize_shared(cfg.robot, feet, odom.pos, yaw, dtype)
+    Ac, Bc2 = srbd.linearize_shared(cfg.robot, feet, truth.pos, yaw, dtype)
     Bc_l = Bc2[..., 0, :, :]
     Bc_r = Bc2[..., 1, :, :]
     if cfg.mode == "stand":
@@ -143,7 +189,14 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         new_state = PlantState(xi=xi_new,
                                q=jnp.concatenate([q_l, q_r], -1),
                                foot_l=state.foot_l, foot_r=state.foot_r,
-                               qp_z=state.qp_z, qp_lam=state.qp_lam)
+                               qp_z=state.qp_z, qp_lam=state.qp_lam,
+                               kf=kf_new,
+                               prev_v=(truth.v_pos
+                                       if state.prev_v is not None
+                                       else None),
+                               prev_q=(state.q
+                                       if state.prev_q is not None
+                                       else None))
     else:
         # swing leg executes its command; stance leg keeps its foot pinned
         q_sw = jnp.where(left_swing[..., None], cmd.q[..., :3],
@@ -172,9 +225,17 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
             qp_z, qp_lam = state.qp_z, state.qp_lam
         new_state = PlantState(xi=xi_new, q=q_new,
                                foot_l=foot_l, foot_r=foot_r,
-                               qp_z=qp_z, qp_lam=qp_lam)
+                               qp_z=qp_z, qp_lam=qp_lam,
+                               kf=kf_new,
+                               prev_v=(truth.v_pos
+                                       if state.prev_v is not None
+                                       else None),
+                               prev_q=(state.q
+                                       if state.prev_q is not None
+                                       else None))
 
     metrics = {
+        "est_error": jnp.linalg.norm(odom.pos - truth.pos, axis=-1),
         "height": xi_new[..., 5],
         "velocity": xi_new[..., 9:12],
         "grf": diag.grf,

@@ -250,6 +250,11 @@ class ControllerConfig:
     # "walk" alternates stance per the gait clock; "stand" keeps both feet
     # in stance (standing-balance config, BASELINE config 2).
     mode: str = "walk"
+    # Odometry source for closed-loop simulation: "truth" (the fake/Gazebo
+    # ground-truth path, reference mpc_control_fake_state) or "kf" (the
+    # contact-gated Kalman filter driven by synthesized joint/IMU sensors —
+    # the intended real-hardware path of the broken mpc_control.cpp).
+    estimator_mode: str = "truth"
     # Foot placement law: "reference" reproduces the active reference code
     # (desired velocity only, include/MPCController.h:106-132) — open-loop
     # in velocity, which cannot catch a lateral fall; "capture" uses the
