@@ -129,7 +129,7 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
     P = c.p_scale * Q
 
     x_ref = srbd.walking_reference(xi0, c, N, v_des, yaw_rate_des,
-                                   height_des=cfg.base_height,
+                                   height_des=cfg.ground_height + cfg.base_height,
                                    pos_anchor=pos_anchor)
 
     G = _cone_rows(cfg, dtype)
@@ -177,7 +177,7 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     P = c.p_scale * Q
 
     x_ref = srbd.walking_reference(xi0, c, N, v_des, yaw_rate_des,
-                                   height_des=cfg.base_height)
+                                   height_des=cfg.ground_height + cfg.base_height)
 
     Gu = _cone_single(cfg, dtype)                        # [6, 3]
     G = jnp.kron(jnp.eye(N, dtype=dtype), Gu)            # [6N, 3N]
@@ -259,7 +259,8 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
 
     # ---- swing leg: trajectory + analytic IK --------------------------
     foot_now_w = jnp.where(gait.left_swing, p_l_w, p_r_w)
-    next_w = gaitmod.swing_trajectory(cfg.gait, gait, foot_now_w, target_w)
+    next_w = gaitmod.swing_trajectory(cfg.gait, gait, foot_now_w, target_w,
+                                  ground_height=cfg.ground_height)
     # world -> base frame target
     next_b = jnp.einsum("...ji,...j->...i", R_wb, next_w - odom.pos)
     geom_swing_l = gl
@@ -287,7 +288,8 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
         on_r = jnp.ones((cfg.srbd.horizon,), dtype_sched)
         arm_l, arm_r = p_l_w, p_r_w
         pos_anchor = 0.5 * (p_l_w + p_r_w)
-        pos_anchor = pos_anchor.at[..., 2].set(cfg.base_height)
+        pos_anchor = pos_anchor.at[..., 2].set(
+            cfg.ground_height + cfg.base_height)
     else:
         pos_anchor = None
         schedule = gaitmod.contact_schedule(

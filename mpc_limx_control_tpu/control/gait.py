@@ -79,13 +79,14 @@ def foot_placement(cfg: ControllerConfig, state: GaitState,
         off_r = jnp.asarray(cfg.robot.nominal_foot_offset_right[:2], xy.dtype)
     offset = jnp.where(state.left_swing[..., None], off_l, off_r)
     xy = xy + offset
-    z = jnp.zeros((*xy.shape[:-1], 1), xy.dtype)
+    z = jnp.full((*xy.shape[:-1], 1), cfg.ground_height, xy.dtype)
     return jnp.concatenate([xy, z], axis=-1)
 
 
 def swing_trajectory(gait: GaitParams, state: GaitState,
                      foot_now: jnp.ndarray,
-                     target: jnp.ndarray) -> jnp.ndarray:
+                     target: jnp.ndarray,
+                     ground_height: float = 0.0) -> jnp.ndarray:
     """Next swing-foot position [..., 3] (world frame).
 
     Linear x/y interpolation by elapsed swing fraction; z replaced by the
@@ -94,7 +95,8 @@ def swing_trajectory(gait: GaitParams, state: GaitState,
     """
     s = state.swing_progress[..., None]
     nxt = foot_now + (target - foot_now) * s
-    z = gait.gait_height * jnp.sin(jnp.pi * state.swing_progress)
+    z = (ground_height
+         + gait.gait_height * jnp.sin(jnp.pi * state.swing_progress))
     return nxt.at[..., 2].set(z)
 
 

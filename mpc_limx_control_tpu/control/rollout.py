@@ -55,15 +55,16 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
                         dtype=jnp.float32) -> PlantState:
     """Standing at the configured base height, feet at their static
     offsets, joints from IK."""
-    pos = jnp.zeros((*batch, 3), dtype).at[..., 2].set(cfg.base_height)
+    pos = jnp.zeros((*batch, 3), dtype).at[..., 2].set(
+        cfg.ground_height + cfg.base_height)
     xi = jnp.zeros((*batch, 13), dtype)
     xi = xi.at[..., 3:6].set(pos)
     xi = xi.at[..., 12].set(-9.81)
 
     off_l = jnp.asarray(cfg.robot.nominal_foot_offset_left, dtype)
     off_r = jnp.asarray(cfg.robot.nominal_foot_offset_right, dtype)
-    foot_l = (pos + off_l).at[..., 2].set(0.0)
-    foot_r = (pos + off_r).at[..., 2].set(0.0)
+    foot_l = (pos + off_l).at[..., 2].set(cfg.ground_height)
+    foot_r = (pos + off_r).at[..., 2].set(cfg.ground_height)
     if cfg.mode == "stand":
         # a point-foot biped has no COP authority: static equilibrium
         # requires the feet directly below the COM in x

@@ -267,6 +267,9 @@ class ControllerConfig:
     capture_gain_scale: float = 1.0
     # Desired base height above ground for the SRBD reference (m).
     base_height: float = 0.65
+    # Ground plane height (m): foot placement, swing profile, reference
+    # height, and the initial stance are all expressed relative to it.
+    ground_height: float = 0.0
     # Desired base velocity (reference hardcodes (1,0,0); MPCController.h:16)
     desired_velocity: Tuple[float, float, float] = (1.0, 0.0, 0.0)
     desired_yaw_rate: float = 0.0
