@@ -191,7 +191,10 @@ class SRBDConfig:
     fz_max: float = 200.0
     # Which formulation of (Ac, Bc): "corrected" fixes the reference's
     # physics bugs (see models/srbd.py); "reference_literal" reproduces the
-    # matrices of include/mpcQP.h:152-181 bit-for-bit for parity testing.
+    # matrices of include/mpcQP.h:152-181 bit-for-bit.  The walking
+    # controller always uses the corrected form (the literal one cannot
+    # balance); the literal pipeline is exercised end-to-end against the
+    # oracle in tests/test_reference_literal.py via models/srbd.
     formulation: str = "corrected"
     # Constraint style: "friction_cone" (corrected) or "box" (reference ±8 N).
     constraints: str = "friction_cone"
