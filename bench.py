@@ -11,6 +11,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import jax
@@ -27,7 +28,8 @@ def main():
 
     cfg = ControllerConfig.walking()
     dev = jax.devices()[0]
-    batch = 4096 if dev.platform != "cpu" else 256
+    batch = int(os.environ.get(
+        "BENCH_BATCH", 4096 if dev.platform != "cpu" else 256))
 
     state0 = ro.initial_plant_state(cfg, batch=(batch,))
     key = jax.random.PRNGKey(0)
