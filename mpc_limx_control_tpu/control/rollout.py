@@ -82,7 +82,12 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
     if cfg.qp_warm_start and cfg.mode == "walk":
         N = cfg.srbd.horizon
         qp_z = jnp.zeros((*batch, 3 * N), dtype)
-        qp_lam = jnp.ones((*batch, 6 * N), dtype)
+        # PDIP threads multipliers (strictly positive); ADMM threads the
+        # scaled dual y, which starts at zero
+        if cfg.srbd.solver.method == "admm":
+            qp_lam = jnp.zeros((*batch, 6 * N), dtype)
+        else:
+            qp_lam = jnp.ones((*batch, 6 * N), dtype)
     kf = prev_v = prev_q = None
     if cfg.estimator_mode == "kf":
         kf = KFState.initial(batch, cfg.estimator.initial_covariance,

@@ -63,7 +63,20 @@ def _build_static(dtype):
 
 def kf_update(cfg: EstimatorConfig, state: KFState, meas: KFMeasurement,
               dt: float) -> KFState:
-    """One predict+update step.  Batched over leading axes of `state`."""
+    """One predict+update step.  Batched over leading axes of `state`.
+
+    The whole update runs at full float32 matmul precision: on TPU the
+    default f32 matmul precision is bf16-on-MXU, whose ~1e-2 relative
+    error is enough to make the innovation covariance S = C P C' + R lose
+    positive-definiteness (Cholesky -> NaN within two control ticks,
+    observed on v5e).  The filter is 12x12 so full precision is free.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _kf_update_body(cfg, state, meas, dt)
+
+
+def _kf_update_body(cfg: EstimatorConfig, state: KFState,
+                    meas: KFMeasurement, dt: float) -> KFState:
     dtype = state.x_hat.dtype
     e3 = jnp.eye(3, dtype=dtype)
 

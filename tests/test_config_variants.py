@@ -48,3 +48,15 @@ def test_reference_literal_placement_mode():
     h, v, final = _run(cfg, steps=400)
     assert h.min() > 0.4
     assert not np.isnan(np.asarray(final.xi)).any()
+
+
+def test_walking_with_warm_pdip_solver():
+    """The interior-point warm path (pre-ADMM production default) still
+    drives a stable gait."""
+    base = ControllerConfig.walking()
+    cfg = dataclasses.replace(
+        base, srbd=dataclasses.replace(
+            base.srbd, solver=SolverConfig(method="pdip", iters=12)))
+    h, v, final = _run(cfg)
+    assert h.min() > 0.5, h.min()
+    assert not np.isnan(np.asarray(final.xi)).any()

@@ -179,3 +179,51 @@ def test_pdip_batched_vmap():
                    jnp.asarray(np.array(Gs)), jnp.asarray(np.array(hs)))
     np.testing.assert_allclose(
         np.asarray(sols.u), np.array(z_refs), atol=2e-6)
+
+
+def test_warm_admm_matches_oracle():
+    """make_admm_warm (the production walking solver): cold-started with
+    enough iterations it reaches the oracle; a warm start from a nearby
+    solution reaches the same point in far fewer iterations."""
+    from mpc_limx_control_tpu.oracle.qp_oracle import solve_qp_oracle
+    x0 = np.array([2.0, 0.0, 0.0, 0.0])
+    _, (H, f, G, h) = _oracle_qp(x0, with_state_constraints=False)
+    z_ref, _, _ = solve_qp_oracle(H, f, G, h)
+    Hj, fj, Gj, hj = (jnp.asarray(H), jnp.asarray(f),
+                      jnp.asarray(G), jnp.asarray(h))
+    nz, m = fj.shape[0], hj.shape[0]
+
+    cold = jqp.make_admm_warm(iters=300, rho=1.0)
+    sol_cold, (z_c, y_c) = cold(Hj, fj, Gj, hj,
+                                jnp.zeros((nz,)), jnp.zeros((m,)))
+    np.testing.assert_allclose(np.asarray(sol_cold.u), z_ref, atol=1e-4)
+
+    # warm restart from the converged state: 8 iterations hold the answer
+    warm = jqp.make_admm_warm(iters=8, rho=1.0)
+    sol_warm, _ = warm(Hj, fj, Gj, hj, z_c, y_c)
+    np.testing.assert_allclose(np.asarray(sol_warm.u), z_ref, atol=1e-4)
+
+
+def test_warm_admm_batched_consistent():
+    """vmapped make_admm_warm (batch-native path) matches per-problem
+    unbatched solves."""
+    rng = np.random.default_rng(1)
+    x0s = rng.uniform(-1, 1, size=(5, 4)) * np.array([2.0, 1.0, 2.0, 1.0])
+    Hs, fs, Gs, hs = [], [], [], []
+    for x0 in x0s:
+        _, (H, f, G, h) = _oracle_qp(x0, with_state_constraints=False)
+        Hs.append(H), fs.append(f), Gs.append(G), hs.append(h)
+    Hb = jnp.asarray(np.array(Hs), jnp.float32)
+    fb = jnp.asarray(np.array(fs), jnp.float32)
+    Gb = jnp.asarray(np.array(Gs), jnp.float32)
+    hb = jnp.asarray(np.array(hs), jnp.float32)
+    nz, m = fb.shape[1], hb.shape[1]
+    solver = jqp.make_admm_warm(iters=100, rho=1.0)
+    z0 = jnp.zeros((nz,), jnp.float32)
+    y0 = jnp.zeros((m,), jnp.float32)
+    sols, _ = jax.vmap(lambda H, f, G, h: solver(H, f, G, h, z0, y0))(
+        Hb, fb, Gb, hb)
+    for i in range(len(x0s)):
+        s_i, _ = solver(Hb[i], fb[i], Gb[i], hb[i], z0, y0)
+        np.testing.assert_allclose(np.asarray(sols.u[i]),
+                                   np.asarray(s_i.u), atol=2e-5)
