@@ -400,6 +400,17 @@ def _batched_admm(H, f, G, h, z_warm, y_warm, iters: int, rho: float,
     Gt = jnp.swapaxes(G, -1, -2)
     K = H + rho * jnp.matmul(Gt, G) + reg * eye
 
+    # One explicit K^{-1} per solve (Cholesky + one triangular solve with
+    # n RHS + an MXU GEMM), then every ADMM iteration is matmul-only:
+    # batched triangular solves per iteration are sequential, VPU-bound
+    # ops on TPU (~10x the cost of the equivalent GEMV).  Measured at
+    # B=4096/n=60: 15.9 ms vs 25.0 ms for the solve-per-iteration form.
+    # ADMM tolerates the f32 inverse's ~1e-2 |K Kinv - I| residual (an
+    # inexact-ADMM perturbation, self-corrected by the iteration) — but
+    # NOT the bf16 MXU default: forming Kinv/M1 at TPU default matmul
+    # precision degraded the walking closed loop (height 0.56 vs 0.655),
+    # so the inverse formation and iteration matvecs are pinned to full
+    # f32 (they are small and HBM-bound; the pin is free).
     if use_pallas:
         B_pad = ((B + chol_pallas.LANES - 1)
                  // chol_pallas.LANES) * chol_pallas.LANES
@@ -413,31 +424,28 @@ def _batched_admm(H, f, G, h, z_warm, y_warm, iters: int, rho: float,
             z_warm = _pad_to(z_warm, B_pad, 0.0)
             y_warm = _pad_to(y_warm, B_pad, 0.0)
         L = chol_pallas.cholesky(K)
-
-        def k_solve(r):
-            return chol_pallas.chol_solve(L, r[..., None])[..., 0]
     else:
         L = jnp.linalg.cholesky(K)
+    with jax.default_matmul_precision("float32"):
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(eye, L.shape), lower=True)
+        Kinv = jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv)
+        M1 = rho * jnp.matmul(Kinv, Gt)                  # [B, n, m]
+        z_base = -jnp.einsum("bij,bj->bi", Kinv, f)
 
-        def k_solve(r):
-            y = jax.scipy.linalg.solve_triangular(L, r[..., None],
-                                                  lower=True)
-            return jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
+        v0 = jnp.minimum(jnp.einsum("bmn,bn->bm", G, z_warm), h)
 
-    v0 = jnp.minimum(jnp.einsum("bmn,bn->bm", G, z_warm), h)
+        def step(carry, _):
+            v, y = carry
+            z = z_base + jnp.einsum("bnm,bm->bn", M1, v - y)
+            gz = jnp.einsum("bmn,bn->bm", G, z)
+            gz_relaxed = alpha * gz + (1.0 - alpha) * v
+            v_new = jnp.minimum(gz_relaxed + y, h)
+            y = y + gz_relaxed - v_new
+            return (v_new, y), None
 
-    def step(carry, _):
-        z, v, y = carry
-        rhs = -f + rho * jnp.einsum("bmn,bm->bn", G, v - y)
-        z = k_solve(rhs)
-        gz = jnp.einsum("bmn,bn->bm", G, z)
-        gz_relaxed = alpha * gz + (1.0 - alpha) * v
-        v_new = jnp.minimum(gz_relaxed + y, h)
-        y = y + gz_relaxed - v_new
-        return (z, v_new, y), None
-
-    (z, v, y), _ = lax.scan(step, (z_warm, v0, y_warm), None, length=iters)
+        (v, y), _ = lax.scan(step, (v0, y_warm), None, length=iters)
+        z = z_base + jnp.einsum("bnm,bm->bn", M1, v - y)
 
     # splitting-consistency residual |Gz - v|_inf: the ADMM convergence
     # measure (OSQP primal residual); strictly positive for any finite
