@@ -166,6 +166,88 @@ def condense(
                        A_blocks=A_blocks, B_blocks=B_blocks)
 
 
+def condense_lti_diag(Ad: jnp.ndarray, Bd_t: jnp.ndarray,
+                      q_diag, r_diag, p_diag, N: int,
+                      x0: jnp.ndarray, x_ref: jnp.ndarray):
+    """Band-form condensation for LTI Ad + LTV Bd + DIAGONAL weights.
+
+    Produces exactly the (H, f) of :func:`condense` (reference cost layout,
+    src/QPSolver.cpp:50-60) but without materializing the prediction matrix
+    B_mat [(N+1)nx, Nnu] or QB — the dominant HBM traffic and GEMM of the
+    walking tick.  Uses the block-Toeplitz structure of B'Q̄B when Ad is
+    step-invariant (true for the shared-yaw SRBD linearization,
+    models/srbd.py):
+
+        H[j,k]/2 = Bd_j' (Ad')^{k-j} W_k Bd_k + delta_jk R      (j <= k)
+        W_k      = Q + Ad' W_{k+1} Ad,   W_{N-1} = P            (backward)
+        f[j]/2   = Bd_j' s_j,   s_j = Q_{j+1} err_{j+1} + Ad' s_{j+1}
+
+    so the cost is O(N nx^2 (nx + N nu)) small matmuls instead of the
+    O((N nu)^2 N nx) dense GEMM — ~4x fewer MACs at N=20/nx=13/nu=3 and
+    ~500x less intermediate memory per scenario.
+
+    Args: Ad [nx,nx]; Bd_t [N,nx,nu]; q_diag/r_diag/p_diag length nx/nu/nx;
+    x0 [nx]; x_ref [N+1,nx].  Returns (H [nz,nz], f [nz]).  Batch via vmap.
+    """
+    nx = Ad.shape[-1]
+    nu = Bd_t.shape[-1]
+    dtype = x0.dtype
+    nz = N * nu
+    q = jnp.asarray(q_diag, dtype)
+    r = jnp.asarray(r_diag, dtype)
+    p = jnp.asarray(p_diag, dtype)
+    AdT = Ad.T
+
+    # ---- W_k backward recursion (cost-to-go Gramians) ------------------
+    def w_step(W, _):
+        W_prev = jnp.diag(q) + AdT @ W @ Ad
+        return W_prev, W_prev
+
+    W_last = jnp.diag(p)
+    _, Ws_rev = lax.scan(w_step, W_last, None, length=N - 1, unroll=True)
+    Ws = jnp.concatenate([Ws_rev[::-1], W_last[None]], axis=0)  # [N,nx,nx]
+
+    V = jnp.einsum("kxy,kyu->kxu", Ws, Bd_t)            # W_k Bd_k [N,nx,nu]
+
+    # ---- band assembly: S[j, j+d] = Bd_j' (Ad')^d V_{j+d} --------------
+    S = jnp.zeros((N, N, nu, nu), dtype)
+    T = V
+    for d in range(N):
+        if d > 0:
+            T = jnp.einsum("yx,kyu->kxu", Ad, T)        # T_d[k] = Ad' T_{d-1}[k]
+        band = jnp.einsum("jxu,jxv->juv", Bd_t[:N - d], T[d:])
+        j_idx = jnp.arange(N - d)
+        S = S.at[j_idx, j_idx + d].set(band)
+
+    U = S.transpose(0, 2, 1, 3).reshape(nz, nz)         # upper incl. diagonal
+    diag_idx = jnp.arange(N)
+    D = jnp.zeros((N, N, nu, nu), dtype).at[diag_idx, diag_idx].set(
+        S[diag_idx, diag_idx])
+    Dmat = D.transpose(0, 2, 1, 3).reshape(nz, nz)
+    R_bar = jnp.diag(jnp.tile(r, N))
+    H = 2.0 * (U + U.T - Dmat + R_bar)
+
+    # ---- f: adjoint (backward) sweep instead of QB' err ----------------
+    def fwd(x, _):
+        xn = Ad @ x
+        return xn, xn
+
+    _, xs = lax.scan(fwd, x0, None, length=N, unroll=True)
+    err = jnp.concatenate([x0[None], xs], axis=0) - x_ref       # [N+1,nx]
+    qw = jnp.concatenate(
+        [jnp.broadcast_to(q, (N - 1, nx)), p[None]], axis=0)    # Q_1..Q_N
+    qerr = qw * err[1:]                                          # [N,nx]
+
+    def bwd(s, qe):
+        s_new = qe + AdT @ s
+        return s_new, s_new
+
+    _, ss = lax.scan(bwd, jnp.zeros((nx,), dtype), qerr[::-1], unroll=True)
+    s = ss[::-1]                                                 # s_j [N,nx]
+    f = 2.0 * jnp.einsum("jxu,jx->ju", Bd_t, s).reshape(nz)
+    return H, f
+
+
 class CondensationCache(NamedTuple):
     """Per-(Ad,Bd) precomputation for LTI MPC: everything that does not
     depend on (x0, x_ref).  The reference rebuilds all of this every control

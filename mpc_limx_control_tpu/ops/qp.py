@@ -457,6 +457,119 @@ def _batched_admm(H, f, G, h, z_warm, y_warm, iters: int, rho: float,
     return sol, (z[:B], y[:B])
 
 
+def _batched_admm_kron(H, f, Gu, h, z_warm, y_warm, iters: int, rho: float,
+                       alpha: float, use_pallas: bool):
+    """Batch-first ADMM with block-diagonal constraints G = kron(I_N, Gu).
+
+    The per-step friction cone gives every horizon step the same [mu,nu]
+    constraint block (models/srbd.py:friction_cone_rows), so G is never
+    materialized: G'G = kron(I, Gu'Gu) is a compile-time constant added to
+    H, the M1 = rho K^-1 G' formation shrinks from an [n,n]x[n,m] GEMM to a
+    per-block [n,N,nu]x[mu,nu] contraction (~20x fewer MACs at N=20), and
+    the per-iteration G matvecs contract over nu instead of n.  Identical
+    iterates to :func:`_batched_admm` on the expanded G.
+
+    H [B,n,n]; f [B,n]; Gu [mu,nu] (shared across batch and horizon);
+    h [B,m] with m = N*mu, n = N*nu.
+    """
+    from mpc_limx_control_tpu.ops import chol_pallas
+
+    dtype = H.dtype
+    B, n = f.shape
+    mu_, nu_ = Gu.shape
+    N = n // nu_
+    m = N * mu_
+    reg = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+    GtG = jnp.kron(jnp.eye(N, dtype=dtype), Gu.T @ Gu)   # constant-folded
+    K = H + (rho * GtG + reg * eye)
+
+    if use_pallas:
+        B_pad = ((B + chol_pallas.LANES - 1)
+                 // chol_pallas.LANES) * chol_pallas.LANES
+        if B_pad != B:
+            K = _pad_to(K, B_pad, 0.0) + jnp.where(
+                jnp.arange(B_pad)[:, None, None] >= B, eye, 0.0)
+            f = _pad_to(f, B_pad, 0.0)
+            h = _pad_to(h, B_pad, 1.0)
+            z_warm = _pad_to(z_warm, B_pad, 0.0)
+            y_warm = _pad_to(y_warm, B_pad, 0.0)
+            B = B_pad
+        L = chol_pallas.cholesky(K)
+    else:
+        L = jnp.linalg.cholesky(K)
+
+    def g_mv(z):                                         # G z, [B,m]
+        zb = z.reshape(-1, N, nu_)
+        return jnp.einsum("mv,bkv->bkm", Gu, zb).reshape(-1, m)
+
+    # f32 pin: see _batched_admm — the K^-1 formation is numerically
+    # sensitive; bf16 MXU default silently degrades the closed loop.
+    with jax.default_matmul_precision("float32"):
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(eye, L.shape), lower=True)
+        Kinv = jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv)
+        M1 = rho * jnp.einsum(
+            "bxkv,mv->bxkm", Kinv.reshape(B, n, N, nu_), Gu).reshape(B, n, m)
+        z_base = -jnp.einsum("bij,bj->bi", Kinv, f)
+
+        v0 = jnp.minimum(g_mv(z_warm), h)
+
+        def step(carry, _):
+            v, y = carry
+            z = z_base + jnp.einsum("bnm,bm->bn", M1, v - y)
+            gz = g_mv(z)
+            gz_relaxed = alpha * gz + (1.0 - alpha) * v
+            v_new = jnp.minimum(gz_relaxed + y, h)
+            y = y + gz_relaxed - v_new
+            return (v_new, y), None
+
+        (v, y), _ = lax.scan(step, (v0, y_warm), None, length=iters)
+        z = z_base + jnp.einsum("bnm,bm->bn", M1, v - y)
+
+    r_prim = jnp.max(jnp.abs(g_mv(z) - v), axis=-1)
+    residual = r_prim / (1.0 + jnp.max(jnp.abs(f), axis=-1))
+    sol = QPSolution(u=z, iterations=iters, residual=residual)
+    return sol, (z, y)
+
+
+def make_admm_warm_kron(Gu: jnp.ndarray, iters: int = 10, rho: float = 1.0,
+                        alpha: float = 1.6,
+                        use_pallas: Optional[bool] = None):
+    """Warm-started ADMM specialized to G = kron(I_N, Gu): fn(H, f, h,
+    z_warm, y_warm) -> (QPSolution, (z, y)).  Gu [mu,nu] is closed over
+    (a compile-time constant — the friction-cone block); the expanded G is
+    never formed."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    @jax.custom_batching.custom_vmap
+    def solve(H, f, h, z_warm, y_warm):
+        sol, zy = _batched_admm_kron(H[None], f[None], Gu, h[None],
+                                     z_warm[None], y_warm[None],
+                                     iters, rho, alpha, False)
+        return (QPSolution(u=sol.u[0], iterations=sol.iterations,
+                           residual=sol.residual[0]),
+                (zy[0][0], zy[1][0]))
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
+                for a, b in zip(args, in_batched)]
+        B = args[1].shape[0]
+        sol, zy = _batched_admm_kron(args[0], args[1], Gu, args[2],
+                                     args[3], args[4],
+                                     iters, rho, alpha, use_pallas)
+        sol = QPSolution(u=sol.u[:B], iterations=sol.iterations,
+                         residual=sol.residual[:B])
+        zy = (zy[0][:B], zy[1][:B])
+        spec = (QPSolution(u=True, iterations=False, residual=True),
+                (True, True))
+        return (sol, zy), spec
+
+    return solve
+
+
 def make_admm_warm(iters: int = 10, rho: float = 1.0, alpha: float = 1.6,
                    use_pallas: Optional[bool] = None):
     """Warm-started batched ADMM: fn(H, f, G, h, z_warm, y_warm) ->
