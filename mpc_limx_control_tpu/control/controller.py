@@ -180,51 +180,43 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
                                    height_des=cfg.ground_height + cfg.base_height)
 
     Gu = _cone_single(cfg, dtype)                        # [6, 3]
+    G = jnp.kron(jnp.eye(N, dtype=dtype), Gu)            # [6N, 3N]
     hu = jnp.asarray([0.0, 0.0, 0.0, 0.0, c.fz_max, -c.fz_min], dtype)
     h = jnp.tile(hu, N)
 
+    qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
+                      None, None, extra_G=G, extra_h=h)
     if c.solver.method == "admm":
         # single-factorization ADMM alternative (SolverConfig.method):
         # ONE Cholesky of (H + rho G'G) per solve and matvec-only
         # iterations — ~2x cheaper than the warm PDIP at matched
         # closed-loop accuracy.  Warm state (z, scaled dual y) threads
         # tick-to-tick through qp_warm exactly like the PDIP path.
-        # Structure-exploiting fast path: band-form condensation (LTI Ad
-        # + diagonal weights, ops/condense.py:condense_lti_diag) and the
-        # kron(I, Gu) cone handled without materializing G.
-        H, f = cnd.condense_lti_diag(
-            Ad, Bd_t, c.q_diag, c.r_diag,
-            tuple(c.p_scale * v for v in c.q_diag), N, xi0, x_ref)
         if qp_warm is None:
-            z0 = jnp.zeros_like(f)
-            y0 = jnp.zeros_like(h)
+            z0 = jnp.zeros_like(qp.f)
+            y0 = jnp.zeros_like(qp.h)
             iters = max(50, c.solver.iters)
         else:
             z0, y0 = qp_warm
             iters = c.solver.admm_warm_iters
-        solver = qps.make_admm_warm_kron(Gu, iters=iters,
-                                         rho=c.solver.admm_rho,
-                                         alpha=c.solver.admm_alpha)
-        sol, qp_state = solver(H, f, h, z0, y0)
+        solver = qps.make_admm_warm(iters=iters, rho=c.solver.admm_rho,
+                                    alpha=c.solver.admm_alpha)
+        sol, qp_state = solver(qp.H, qp.f, qp.G, qp.h, z0, y0)
+    elif qp_warm is None:
+        solver = qps.make_pdip(iters=c.solver.iters)
+        sol = solver(qp.H, qp.f, qp.G, qp.h)
+        qp_state = (sol.u, jnp.ones_like(qp.h))
     else:
-        G = jnp.kron(jnp.eye(N, dtype=dtype), Gu)        # [6N, 3N]
-        qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
-                          None, None, extra_G=G, extra_h=h)
-        if qp_warm is None:
-            solver = qps.make_pdip(iters=c.solver.iters)
-            sol = solver(qp.H, qp.f, qp.G, qp.h)
-            qp_state = (sol.u, jnp.ones_like(qp.h))
-        else:
-            solver = qps.make_pdip_warm(iters=c.solver.warm_iters)
-            sol, qp_state = solver(qp.H, qp.f, qp.G, qp.h,
-                                   qp_warm[0], qp_warm[1])
+        solver = qps.make_pdip_warm(iters=c.solver.warm_iters)
+        sol, qp_state = solver(qp.H, qp.f, qp.G, qp.h,
+                               qp_warm[0], qp_warm[1])
     u0 = sol.u[:3]
     left_now = on_l[0] > 0.5
     zeros3 = jnp.zeros_like(u0)
     grf = jnp.where(left_now,
                     jnp.concatenate([u0, zeros3], -1),
                     jnp.concatenate([zeros3, u0], -1))
-    xi_pred = Ad @ xi0 + Bd_t[0] @ u0
+    xi_pred = qp.A_blocks[1] @ xi0 + qp.B_blocks[1, 0] @ u0
     return grf, sol.residual, xi_pred, qp_state
 
 
