@@ -113,6 +113,27 @@ def move_group_joints(link: rt.RobotLink, targets, kp: float = 60.0,
     return False
 
 
+def zero_torque(link: rt.RobotLink) -> None:
+    """Publish the all-zero safe-stop command: q = dq = tau = kp = kd = 0
+    (PFControllerBase::zeroTorque, src/pf_controller_base.cpp:72-83)."""
+    z = np.zeros(rt.NUM_JOINTS, np.float32)
+    link.send_cmd(q=z, dq=z, tau=z, kp=z, kd=z)
+
+
+def damping(link: rt.RobotLink, kd: float = 4.0) -> None:
+    """Publish the damping safe-stop command: everything zero except
+    kd (PFControllerBase::damping, src/pf_controller_base.cpp:86-97,
+    which uses kd = 4)."""
+    z = np.zeros(rt.NUM_JOINTS, np.float32)
+    link.send_cmd(q=z, dq=z, tau=z, kp=z,
+                  kd=np.full(rt.NUM_JOINTS, kd, np.float32))
+
+
+class CalibrationError(RuntimeError):
+    """A calibration diagnostic with nonzero code arrived — the analogue of
+    the reference's abort() (src/mpc_control_fake_state.cpp:27-34)."""
+
+
 class ControlSession:
     """The MPCWalking application: init -> start (move to zero) -> run."""
 
@@ -128,7 +149,9 @@ class ControlSession:
                 self.cfg, kf, joints, imu, contact, self.cfg.gait.dt))
         self.kf = KFState.initial(
             (), self.cfg.estimator.initial_covariance, jnp.float32)
-        self.calibrated = True     # the calibration-diagnostic abort gate
+        # calibration-diagnostic abort gate: set False the moment a
+        # calibration diagnostic with nonzero code arrives on the wire
+        self.calibrated = True
 
     def close(self):
         self.link.close()
@@ -139,10 +162,36 @@ class ControlSession:
     def __exit__(self, *exc):
         self.close()
 
+    # -- safety commands (PFControllerBase, src/pf_controller_base.cpp:72-97)
+    def zero_torque(self) -> None:
+        zero_torque(self.link)
+
+    def damping(self, kd: float = 4.0) -> None:
+        damping(self.link, kd)
+
+    def _poll_diagnostics(self) -> None:
+        """Drain the diagnostic mailbox; trip the calibration gate on a
+        nonzero calibration code (src/mpc_control_fake_state.cpp:27-34)."""
+        d = self.link.recv_diag()
+        if d is not None and d["name"] == rt.DIAG_CALIBRATION:
+            self.calibrated = d["code"] == 0
+
     # -- init: gains + calibration gate (src/mpc_control_fake_state.cpp:24-43)
-    def init(self) -> None:
+    def init(self, settle_s: float = 0.05) -> None:
+        """Wait briefly for any pending calibration diagnostic, then gate.
+
+        On failure the robot is left in damping mode (the safe analogue of
+        the reference's bare abort()) and CalibrationError raised."""
+        import time
+        deadline = rt.now_ns() + int(settle_s * 1e9)
+        while rt.now_ns() < deadline:
+            self._poll_diagnostics()
+            if not self.calibrated:
+                break
+            time.sleep(0.001)
         if not self.calibrated:
-            raise RuntimeError("calibration diagnostic failed")  # abort()
+            self.damping()
+            raise CalibrationError("calibration diagnostic failed")
 
     # -- start: move to zero point (src/mpc_control_fake_state.cpp:48-102)
     def start(self, timeout_iters: int = 20000) -> bool:
@@ -153,12 +202,27 @@ class ControlSession:
 
     # -- run: the 1 kHz MPC loop (src/mpc_control_fake_state.cpp:108-149)
     def run(self, iterations: int, hz: float = 1000.0,
-            use_kf: bool = False) -> dict:
-        """Run `iterations` control ticks; returns loop statistics."""
-        stats = {"sent": 0, "stale": 0, "missed_deadlines": 0}
+            use_kf: bool = False, est_odom_every: int = 5) -> dict:
+        """Run `iterations` control ticks; returns loop statistics.
+
+        With `use_kf`, contact flags for the filter's noise gating come
+        from the gait clock (swing-foot measurements are inflated x100,
+        include/stateEstimator.h:260-279) — NOT hardwired double support,
+        which on a walking robot would let the swing foot corrupt the
+        estimate.  The KF odometry + covariance diagonal is published back
+        over the wire every `est_odom_every` ticks (the reference's 200 Hz
+        odom/pose stream, include/stateEstimator.h:404-419)."""
+        from mpc_limx_control_tpu.control import gait as gaitmod
+        stats = {"sent": 0, "stale": 0, "missed_deadlines": 0,
+                 "est_odom_published": 0}
         it = 0
         with rt.Rate(hz) as rate:
             while it < iterations:
+                self._poll_diagnostics()
+                if not self.calibrated:
+                    self.damping()
+                    raise CalibrationError(
+                        "calibration diagnostic failed mid-run")
                 state = self.link.recv_state()
                 if state is None:
                     stats["stale"] += 1
@@ -174,10 +238,27 @@ class ControlSession:
                     imu = ImuData(quat=jnp.asarray(imu_raw["quat"]),
                                   acc=jnp.asarray(imu_raw["acc"]),
                                   gyro=jnp.asarray(imu_raw["gyro"]))
-                    contact = jnp.asarray([True, True])
+                    if self.cfg.mode == "stand":
+                        contact = jnp.asarray([True, True])
+                    else:
+                        g_clk = gaitmod.gait_clock(
+                            self.cfg.gait,
+                            jnp.asarray(float(it), jnp.float32))
+                        ls = bool(g_clk.left_swing)
+                        contact = jnp.asarray([not ls, ls])
                     out = self._est_tick(self.kf, joints, imu, contact)
                     self.kf = out.kf
                     odom = out.odom
+                    if est_odom_every and it % est_odom_every == 0:
+                        cov = np.asarray(
+                            jnp.diagonal(self.kf.p_cov, axis1=-2, axis2=-1))
+                        self.link.send_est_odom(
+                            pos=np.asarray(odom.pos),
+                            quat=np.asarray(odom.quat),
+                            v_pos=np.asarray(odom.v_pos),
+                            v_ori=np.asarray(odom.v_ori),
+                            cov_diag=cov, stamp_ns=rt.now_ns())
+                        stats["est_odom_published"] += 1
                 elif odom_raw is not None:
                     # fake-estimator path: ground-truth odometry over the
                     # wire (the Gazebo-truth feed of the reference,

@@ -82,6 +82,30 @@ class _Odom(C.Structure):
                 ("v_ori", C.c_float * 3)]
 
 
+class _Diag(C.Structure):
+    _fields_ = [("stamp_ns", C.c_uint64),
+                ("name", C.c_uint32),
+                ("level", C.c_int32),
+                ("code", C.c_int32)]
+
+
+class _EstOdom(C.Structure):
+    _fields_ = [("stamp_ns", C.c_uint64),
+                ("pos", C.c_float * 3),
+                ("quat", C.c_float * 4),
+                ("v_pos", C.c_float * 3),
+                ("v_ori", C.c_float * 3),
+                ("cov_diag", C.c_float * 12)]
+
+
+# diagnostic name ids (PFRT_DIAG_* in runtime/pf_runtime.h — wire-stable
+# equivalents of the reference's DiagnosticValue.name strings,
+# src/mpc_control_fake_state.cpp:27-34)
+DIAG_CALIBRATION = 1
+DIAG_ETHERCAT = 2
+DIAG_IMU = 3
+
+
 _lib = None
 
 
@@ -97,7 +121,9 @@ def _load():
     lib.pfrt_recv_state.argtypes = [C.c_void_p, C.POINTER(_RobotState)]
     lib.pfrt_recv_imu.argtypes = [C.c_void_p, C.POINTER(_ImuData)]
     lib.pfrt_recv_odom.argtypes = [C.c_void_p, C.POINTER(_Odom)]
+    lib.pfrt_recv_diag.argtypes = [C.c_void_p, C.POINTER(_Diag)]
     lib.pfrt_send_cmd.argtypes = [C.c_void_p, C.POINTER(_RobotCmd)]
+    lib.pfrt_send_est_odom.argtypes = [C.c_void_p, C.POINTER(_EstOdom)]
     lib.pfrt_link_state_count.restype = C.c_uint64
     lib.pfrt_link_state_count.argtypes = [C.c_void_p]
 
@@ -107,7 +133,9 @@ def _load():
     lib.pfrt_publish_state.argtypes = [C.c_void_p, C.POINTER(_RobotState),
                                        C.POINTER(_ImuData)]
     lib.pfrt_publish_odom.argtypes = [C.c_void_p, C.POINTER(_Odom)]
+    lib.pfrt_publish_diag.argtypes = [C.c_void_p, C.POINTER(_Diag)]
     lib.pfrt_poll_cmd.argtypes = [C.c_void_p, C.POINTER(_RobotCmd)]
+    lib.pfrt_poll_est_odom.argtypes = [C.c_void_p, C.POINTER(_EstOdom)]
     lib.pfrt_host_cmd_count.restype = C.c_uint64
     lib.pfrt_host_cmd_count.argtypes = [C.c_void_p]
 
@@ -170,6 +198,39 @@ class RobotLink:
         return {"stamp_ns": o.stamp_ns, "pos": _arr(o.pos),
                 "quat": _arr(o.quat), "v_pos": _arr(o.v_pos),
                 "v_ori": _arr(o.v_ori)}
+
+    def recv_diag(self):
+        """Latest robot diagnostic (name id, level, code), or None.
+
+        The reference's subscribeDiagnosticValue channel
+        (src/pf_controller_base.cpp:36-41): a calibration diagnostic with
+        nonzero code must abort session init."""
+        d = _Diag()
+        if self._lib.pfrt_recv_diag(self._h, C.byref(d)) != 1:
+            return None
+        return {"stamp_ns": d.stamp_ns, "name": int(d.name),
+                "level": int(d.level), "code": int(d.code)}
+
+    def send_est_odom(self, pos, quat=(0, 0, 0, 1), v_pos=(0, 0, 0),
+                      v_ori=(0, 0, 0), cov_diag=None, stamp_ns: int = 0):
+        """Publish the estimator's odometry + covariance health (the
+        stateEstimator 200 Hz odom/pose stream,
+        include/stateEstimator.h:404-419)."""
+        o = _EstOdom()
+        o.stamp_ns = stamp_ns
+        for i in range(3):
+            o.pos[i] = float(pos[i])
+            o.v_pos[i] = float(v_pos[i])
+            o.v_ori[i] = float(v_ori[i])
+        for i in range(4):
+            o.quat[i] = float(quat[i])
+        cov = (np.zeros(12, np.float32) if cov_diag is None
+               else np.asarray(cov_diag, np.float32))
+        for i in range(12):
+            o.cov_diag[i] = float(cov[i])
+        rc = self._lib.pfrt_send_est_odom(self._h, C.byref(o))
+        if rc != 0:
+            raise OSError(f"pfrt_send_est_odom: {rc}")
 
     def send_cmd(self, q, dq=None, tau=None, kp=None, kd=None, mode=None,
                  stamp_ns: int = 0):
@@ -252,6 +313,28 @@ class RobotHost:
         rc = self._lib.pfrt_publish_odom(self._h, C.byref(o))
         if rc != 0:
             raise OSError(f"pfrt_publish_odom: {rc}")
+
+    def publish_diag(self, name: int, code: int, level: int = 0,
+                     stamp_ns: int = 0):
+        """Publish a diagnostic value (calibration status etc.) to the
+        controller."""
+        d = _Diag()
+        d.stamp_ns = stamp_ns
+        d.name = int(name)
+        d.level = int(level)
+        d.code = int(code)
+        rc = self._lib.pfrt_publish_diag(self._h, C.byref(d))
+        if rc != 0:
+            raise OSError(f"pfrt_publish_diag: {rc}")
+
+    def poll_est_odom(self):
+        """Latest estimator odometry published by the controller, or None."""
+        o = _EstOdom()
+        if self._lib.pfrt_poll_est_odom(self._h, C.byref(o)) != 1:
+            return None
+        return {"stamp_ns": o.stamp_ns, "pos": _arr(o.pos),
+                "quat": _arr(o.quat), "v_pos": _arr(o.v_pos),
+                "v_ori": _arr(o.v_ori), "cov_diag": _arr(o.cov_diag)}
 
     def poll_cmd(self):
         c = _RobotCmd()

@@ -19,6 +19,8 @@ constexpr uint16_t kTypeState = 1;
 constexpr uint16_t kTypeImu = 2;
 constexpr uint16_t kTypeCmd = 3;
 constexpr uint16_t kTypeOdom = 4;
+constexpr uint16_t kTypeDiag = 5;
+constexpr uint16_t kTypeEstOdom = 6;
 
 struct WireHeader {
   uint32_t magic;
@@ -130,7 +132,8 @@ struct pfrt_link {
   Mailbox<pfrt_robot_state> state_box;
   Mailbox<pfrt_imu_data> imu_box;
   Mailbox<pfrt_odom> odom_box;
-  uint64_t state_last = 0, imu_last = 0, odom_last = 0;
+  Mailbox<pfrt_diag> diag_box;
+  uint64_t state_last = 0, imu_last = 0, odom_last = 0, diag_last = 0;
   uint64_t cmd_seq = 0;
 };
 
@@ -142,12 +145,15 @@ static void link_rx_loop(pfrt_link *l) {
     pfrt_robot_state s;
     pfrt_imu_data imu;
     pfrt_odom od;
+    pfrt_diag dg;
     if (parse_packet(buf, n, kTypeState, &s)) {
       l->state_box.write(s);
     } else if (parse_packet(buf, n, kTypeImu, &imu)) {
       l->imu_box.write(imu);
     } else if (parse_packet(buf, n, kTypeOdom, &od)) {
       l->odom_box.write(od);
+    } else if (parse_packet(buf, n, kTypeDiag, &dg)) {
+      l->diag_box.write(dg);
     }
   }
 }
@@ -190,8 +196,18 @@ int pfrt_recv_odom(pfrt_link *l, pfrt_odom *out) {
   return l->odom_box.read_fresh(out, &l->odom_last);
 }
 
+int pfrt_recv_diag(pfrt_link *l, pfrt_diag *out) {
+  return l->diag_box.read_fresh(out, &l->diag_last);
+}
+
 int pfrt_send_cmd(pfrt_link *l, const pfrt_robot_cmd *cmd) {
   return send_packet(l->cmd_fd, l->cmd_addr, kTypeCmd, ++l->cmd_seq, *cmd);
+}
+
+int pfrt_send_est_odom(pfrt_link *l, const pfrt_est_odom *o) {
+  /* rides the cmd socket to the same host endpoint; the host rx loop
+   * demultiplexes on the packet type */
+  return send_packet(l->cmd_fd, l->cmd_addr, kTypeEstOdom, ++l->cmd_seq, *o);
 }
 
 uint64_t pfrt_link_state_count(const pfrt_link *l) {
@@ -208,7 +224,8 @@ struct pfrt_host {
   std::thread rx_thread;
   std::atomic<bool> running{false};
   Mailbox<pfrt_robot_cmd> cmd_box;
-  uint64_t cmd_last = 0;
+  Mailbox<pfrt_est_odom> est_odom_box;
+  uint64_t cmd_last = 0, est_odom_last = 0;
   uint64_t state_seq = 0;
   uint16_t peer_state_port = 0;
 };
@@ -222,6 +239,7 @@ static void host_rx_loop(pfrt_host *h) {
                            reinterpret_cast<sockaddr *>(&from), &from_len);
     if (n <= 0) continue;
     pfrt_robot_cmd c;
+    pfrt_est_odom eo;
     if (parse_packet(buf, n, kTypeCmd, &c)) {
       h->cmd_box.write(c);
       /* learn the controller's address for state publication */
@@ -229,6 +247,8 @@ static void host_rx_loop(pfrt_host *h) {
       sa.sin_port = htons(h->peer_state_port);
       h->state_addr = sa;
       h->have_peer.store(true, std::memory_order_release);
+    } else if (parse_packet(buf, n, kTypeEstOdom, &eo)) {
+      h->est_odom_box.write(eo);
     }
   }
 }
@@ -277,8 +297,17 @@ int pfrt_publish_odom(pfrt_host *h, const pfrt_odom *o) {
                      *o);
 }
 
+int pfrt_publish_diag(pfrt_host *h, const pfrt_diag *d) {
+  return send_packet(h->state_fd, h->state_addr, kTypeDiag, ++h->state_seq,
+                     *d);
+}
+
 int pfrt_poll_cmd(pfrt_host *h, pfrt_robot_cmd *out) {
   return h->cmd_box.read_fresh(out, &h->cmd_last);
+}
+
+int pfrt_poll_est_odom(pfrt_host *h, pfrt_est_odom *out) {
+  return h->est_odom_box.read_fresh(out, &h->est_odom_last);
 }
 
 uint64_t pfrt_host_cmd_count(const pfrt_host *h) { return h->cmd_box.count(); }

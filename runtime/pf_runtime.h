@@ -30,7 +30,13 @@ extern "C" {
 
 #define PFRT_NUM_JOINTS 6
 #define PFRT_MAGIC 0x5046524Bu /* "PFRK" */
-#define PFRT_VERSION 1
+#define PFRT_VERSION 2
+
+/* Diagnostic names (the reference's DiagnosticValue.name strings,
+ * src/mpc_control_fake_state.cpp:27-34, as wire-stable ids). */
+#define PFRT_DIAG_CALIBRATION 1u
+#define PFRT_DIAG_ETHERCAT 2u
+#define PFRT_DIAG_IMU 3u
 
 /* Wire/datatypes — mirror limxsdk RobotState / RobotCmd / ImuData
  * (reference include/pf_controller_base.h:88-91). */
@@ -68,6 +74,30 @@ typedef struct {
   float v_ori[3];
 } pfrt_odom;
 
+/* Robot diagnostic value (the limxsdk DiagnosticValue role, reference
+ * src/pf_controller_base.cpp:36-41): robot -> controller health channel.
+ * A calibration diagnostic with nonzero code must abort session init
+ * (src/mpc_control_fake_state.cpp:27-34). */
+typedef struct {
+  uint64_t stamp_ns;
+  uint32_t name;  /* PFRT_DIAG_* id */
+  int32_t level;  /* 0 = OK, 1 = WARN, 2 = ERROR */
+  int32_t code;   /* 0 = OK; meaning is name-specific */
+} pfrt_diag;
+
+/* Estimator odometry + covariance health, controller -> observers (the
+ * stateEstimator's 200 Hz odom/pose-with-covariance publication,
+ * reference include/stateEstimator.h:404-419). cov_diag is the diagonal
+ * of the KF covariance over [base pos(3), base vel(3), feet(6)]. */
+typedef struct {
+  uint64_t stamp_ns;
+  float pos[3];
+  float quat[4]; /* x, y, z, w */
+  float v_pos[3];
+  float v_ori[3];
+  float cov_diag[12];
+} pfrt_est_odom;
+
 typedef struct pfrt_link pfrt_link;   /* controller side */
 typedef struct pfrt_host pfrt_host;   /* robot / simulator side */
 
@@ -81,7 +111,10 @@ void pfrt_link_close(pfrt_link *l);
 int pfrt_recv_state(pfrt_link *l, pfrt_robot_state *out);
 int pfrt_recv_imu(pfrt_link *l, pfrt_imu_data *out);
 int pfrt_recv_odom(pfrt_link *l, pfrt_odom *out);
+int pfrt_recv_diag(pfrt_link *l, pfrt_diag *out);
 int pfrt_send_cmd(pfrt_link *l, const pfrt_robot_cmd *cmd);
+/* Estimator odometry out-stream (controller -> host/observers). */
+int pfrt_send_est_odom(pfrt_link *l, const pfrt_est_odom *o);
 /* counters for observability */
 uint64_t pfrt_link_state_count(const pfrt_link *l);
 
@@ -91,7 +124,9 @@ void pfrt_host_close(pfrt_host *h);
 int pfrt_publish_state(pfrt_host *h, const pfrt_robot_state *s,
                        const pfrt_imu_data *imu);
 int pfrt_publish_odom(pfrt_host *h, const pfrt_odom *o);
+int pfrt_publish_diag(pfrt_host *h, const pfrt_diag *d);
 int pfrt_poll_cmd(pfrt_host *h, pfrt_robot_cmd *out); /* 1 fresh / 0 stale */
+int pfrt_poll_est_odom(pfrt_host *h, pfrt_est_odom *out);
 uint64_t pfrt_host_cmd_count(const pfrt_host *h);
 
 /* ---- rate-controlled loop ---- */

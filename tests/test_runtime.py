@@ -109,3 +109,44 @@ def test_closed_loop_rate(lib):
         # most messages should arrive (UDP loopback, generous 50% bound)
         assert link.state_count > n * 0.5
         assert host.cmd_count > n * 0.3
+
+
+def test_diagnostic_channel(lib):
+    """Diagnostic packets (robot -> controller): the
+    subscribeDiagnosticValue channel (src/pf_controller_base.cpp:36-41)."""
+    with rt.RobotHost(state_port=17207, cmd_port=17208) as host, \
+            rt.RobotLink("127.0.0.1", state_port=17207,
+                         cmd_port=17208) as link:
+        deadline = time.time() + 2.0
+        got = None
+        while got is None and time.time() < deadline:
+            host.publish_diag(rt.DIAG_CALIBRATION, code=3, level=2,
+                              stamp_ns=9)
+            time.sleep(0.002)
+            got = link.recv_diag()
+        assert got is not None, "no diagnostic received"
+        assert got["name"] == rt.DIAG_CALIBRATION
+        assert got["code"] == 3
+        assert got["level"] == 2
+        # stale second read
+        assert link.recv_diag() is None
+
+
+def test_est_odom_stream(lib):
+    """Estimator odometry + covariance (controller -> host): the
+    stateEstimator 200 Hz odom/pose-with-covariance publication
+    (include/stateEstimator.h:404-419)."""
+    with rt.RobotHost(state_port=17209, cmd_port=17210) as host, \
+            rt.RobotLink("127.0.0.1", state_port=17209,
+                         cmd_port=17210) as link:
+        cov = np.arange(12, dtype=np.float32) * 0.01
+        deadline = time.time() + 2.0
+        got = None
+        while got is None and time.time() < deadline:
+            link.send_est_odom(pos=(1.0, 2.0, 0.65), v_pos=(0.4, 0, 0),
+                               cov_diag=cov, stamp_ns=11)
+            time.sleep(0.002)
+            got = host.poll_est_odom()
+        assert got is not None, "no est odom received"
+        np.testing.assert_allclose(got["pos"], [1.0, 2.0, 0.65], atol=1e-7)
+        np.testing.assert_allclose(got["cov_diag"], cov, atol=1e-7)

@@ -141,3 +141,94 @@ def test_square_wave_torque():
     np.testing.assert_allclose(t0[[0, 3]], 20.0)
     np.testing.assert_allclose(t1[[0, 3]], -20.0)
     assert (t0[[1, 2, 4, 5]] == 0).all()
+
+
+def test_zero_torque_and_damping(robot_ports):
+    """The PFControllerBase safety commands
+    (src/pf_controller_base.cpp:72-97): zeroTorque sends all-zero
+    gains/targets; damping sends kd = 4 only."""
+    sp, cp = robot_ports
+    with rt.RobotHost(state_port=sp, cmd_port=cp) as host, \
+            ses.ControlSession(host_ip="127.0.0.1", state_port=sp,
+                               cmd_port=cp) as session:
+        deadline = time.time() + 2.0
+        got = None
+        while got is None and time.time() < deadline:
+            session.zero_torque()
+            time.sleep(0.002)
+            got = host.poll_cmd()
+        assert got is not None
+        for k in ("q", "dq", "tau", "kp", "kd"):
+            np.testing.assert_allclose(got[k], 0.0, atol=1e-7)
+
+        got = None
+        deadline = time.time() + 2.0
+        while got is None and time.time() < deadline:
+            session.damping()
+            time.sleep(0.002)
+            c = host.poll_cmd()
+            if c is not None and c["kd"][0] == 4.0:
+                got = c
+        assert got is not None
+        np.testing.assert_allclose(got["kd"], 4.0, atol=1e-7)
+        for k in ("q", "dq", "tau", "kp"):
+            np.testing.assert_allclose(got[k], 0.0, atol=1e-7)
+
+
+def test_calibration_gate_aborts(robot_ports):
+    """A calibration diagnostic with nonzero code trips init() — the
+    abort() gate of src/mpc_control_fake_state.cpp:27-34, now fed by a
+    real wire channel instead of a hardcoded True."""
+    sp, cp = robot_ports
+    with rt.RobotHost(state_port=sp, cmd_port=cp) as host, \
+            ses.ControlSession(host_ip="127.0.0.1", state_port=sp,
+                               cmd_port=cp) as session:
+        # publish failure repeatedly while init polls
+        stop = threading.Event()
+
+        def spam():
+            while not stop.is_set():
+                host.publish_diag(rt.DIAG_CALIBRATION, code=1, level=2)
+                time.sleep(0.002)
+
+        t = threading.Thread(target=spam, daemon=True)
+        t.start()
+        try:
+            with pytest.raises(ses.CalibrationError):
+                session.init(settle_s=1.0)
+            assert not session.calibrated
+        finally:
+            stop.set()
+            t.join(timeout=2.0)
+
+
+def test_calibration_gate_passes(robot_ports):
+    sp, cp = robot_ports
+    with rt.RobotHost(state_port=sp, cmd_port=cp) as host, \
+            ses.ControlSession(host_ip="127.0.0.1", state_port=sp,
+                               cmd_port=cp) as session:
+        host.publish_diag(rt.DIAG_CALIBRATION, code=0)
+        time.sleep(0.05)
+        session.init(settle_s=0.1)   # must not raise
+        assert session.calibrated
+
+
+def test_session_kf_publishes_est_odom(robot_ports):
+    """run(use_kf=True) publishes KF odometry + covariance back over the
+    wire (include/stateEstimator.h:404-419 analogue)."""
+    sp, cp = robot_ports
+    robot = LoopbackRobot(sp, cp)
+    try:
+        with ses.ControlSession(host_ip="127.0.0.1", state_port=sp,
+                                cmd_port=cp) as session:
+            stats = session.run(iterations=12, hz=100.0, use_kf=True,
+                                est_odom_every=2)
+        assert stats["est_odom_published"] >= 5
+        time.sleep(0.05)
+        got = robot.host.poll_est_odom()
+        assert got is not None
+        # covariance health is on the wire and finite
+        assert np.isfinite(got["cov_diag"]).all()
+        assert (got["cov_diag"] >= 0).all()
+    finally:
+        robot.close()

@@ -1,0 +1,207 @@
+"""End-to-end session walking over the native UDP runtime with the KF.
+
+This is the reference's *intended* hardware path
+(src/mpc_control.cpp:158-192, which never compiled): a plant process
+publishes raw sensors (joints, IMU) over the wire; the ControlSession
+estimates base state with the contact-gated 12-state KF (contacts from its
+own gait clock, NOT hardwired double support) and commands joints; the
+plant integrates the SRBD dynamics from the received commands.
+
+The plant reconstructs the stance GRF from the commanded stance-leg
+torques (f_body = -(J^T)^{-1} tau — inverting the controller's
+tau = J^T(-R^T f) map), steps the same SRBD dynamics as the in-sim rollout
+harness, and synthesizes what a robot would measure: joint q/dq, IMU
+orientation quaternion, body-frame specific force and angular rate.
+
+Pass criterion: the robot *walks* — base height held near the commanded
+0.65 m, no fall, forward progress — through the full UDP + KF loop.
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_limx_control_tpu import runtime as rt
+from mpc_limx_control_tpu.core.config import ControllerConfig
+from mpc_limx_control_tpu.control import rollout as ro
+from mpc_limx_control_tpu.control import session as ses
+from mpc_limx_control_tpu.models import kinematics as kin
+from mpc_limx_control_tpu.models import srbd
+from mpc_limx_control_tpu.utils import rotations as rot
+
+
+def _make_plant_step(cfg: ControllerConfig):
+    """Jitted single-scenario SRBD plant step driven by a received joint
+    command (the wire-protocol analogue of rollout.plant_step's plant
+    half)."""
+    dtype = jnp.float32
+    gl = kin.leg_geometry(cfg.robot.legs, "left", dtype)
+    gr = kin.leg_geometry(cfg.robot.legs, "right", dtype)
+    dt = cfg.gait.dt
+
+    @jax.jit
+    def step(xi, q, foot_l, foot_r, cmd_q, cmd_tau, cmd_kp):
+        # swing side from the command's gain pattern (controller.tick packs
+        # kp > 0 only on the swing leg in walk mode)
+        left_swing = cmd_kp[0] > 0.0
+        R_wb = rot.quat_to_rot(rot.rpy_to_quat(xi[0:3]))
+
+        # stance torque -> body-frame contact force -> world GRF
+        J_l = kin.contact_jacobian(gl, q[:3])
+        J_r = kin.contact_jacobian(gr, q[3:])
+        tau_st = jnp.where(left_swing, cmd_tau[3:], cmd_tau[:3])
+        J_st = jnp.where(left_swing, J_r, J_l)
+        f_b = -jnp.linalg.solve(jnp.swapaxes(J_st, -1, -2), tau_st)
+        f_w = R_wb @ f_b
+        zeros3 = jnp.zeros(3, dtype)
+        grf = jnp.where(left_swing,
+                        jnp.concatenate([zeros3, f_w]),
+                        jnp.concatenate([f_w, zeros3]))
+
+        # SRBD dynamics (identical to control/rollout.py:163-180)
+        yaw = xi[2]
+        feet = jnp.stack([foot_l, foot_r], axis=-2)
+        Ac, Bc2 = srbd.linearize_shared(cfg.robot, feet, xi[3:6], yaw, dtype)
+        on_l = 1.0 - left_swing.astype(dtype)
+        on_r = left_swing.astype(dtype)
+        Bc = jnp.concatenate(
+            [Bc2[..., 0, :, :] * on_l, Bc2[..., 1, :, :] * on_r], axis=-1)
+        Ad, Bd = srbd.discretize_srbd(Ac, Bc, dt)
+        xi_new = Ad @ xi + Bd @ grf
+
+        # foot / joint kinematics: swing executes its command, stance
+        # stays pinned (control/rollout.py:206-227)
+        base_new = xi_new[3:6]
+        R_new = rot.quat_to_rot(rot.rpy_to_quat(xi_new[0:3]))
+        q_sw = jnp.where(left_swing, cmd_q[:3], cmd_q[3:])
+        p_sw_b = kin.forward_kinematics(
+            jax.tree.map(lambda a, b: jnp.where(left_swing, a, b), gl, gr),
+            q_sw)
+        p_sw_w = base_new + R_new @ p_sw_b
+        foot_l_new = jnp.where(left_swing, p_sw_w, foot_l)
+        foot_r_new = jnp.where(left_swing, foot_r, p_sw_w)
+        q_st_l = kin.inverse_kinematics_analytic(
+            gl, R_new.T @ (foot_l_new - base_new), q[:3])
+        q_st_r = kin.inverse_kinematics_analytic(
+            gr, R_new.T @ (foot_r_new - base_new), q[3:])
+        q_new = jnp.where(left_swing,
+                          jnp.concatenate([q_sw, q_st_r]),
+                          jnp.concatenate([q_st_l, q_sw]))
+
+        # synthesized sensors: what the robot's IMU + encoders would report
+        quat = rot.rpy_to_quat(xi_new[0:3])
+        g_vec = jnp.asarray([0.0, 0.0, -9.81], dtype)
+        a_w = (xi_new[9:12] - xi[9:12]) / dt
+        acc_b = R_new.T @ (a_w - g_vec)      # specific force, body frame
+        gyro_b = R_new.T @ xi_new[6:9]
+        dq = (q_new - q) / dt
+        return xi_new, q_new, foot_l_new, foot_r_new, quat, acc_b, gyro_b, dq
+
+    return step
+
+
+class WirePlant:
+    """Plant process speaking the pf_runtime wire protocol: waits for a
+    command, steps the SRBD dynamics, publishes sensors.  Republishes the
+    latest sensor packet while idle so a dropped datagram cannot deadlock
+    the lockstep loop."""
+
+    def __init__(self, cfg, state_port, cmd_port):
+        self.cfg = cfg
+        self.host = rt.RobotHost(state_port=state_port, cmd_port=cmd_port)
+        self.step = _make_plant_step(cfg)
+        s0 = ro.initial_plant_state(cfg)
+        self.xi = s0.xi
+        self.q = s0.q
+        self.foot_l = s0.foot_l
+        self.foot_r = s0.foot_r
+        self.quat = np.asarray([0, 0, 0, 1], np.float32)
+        self.acc = np.asarray([0, 0, 9.81], np.float32)
+        self.gyro = np.zeros(3, np.float32)
+        self.dq = np.zeros(6, np.float32)
+        self.steps_taken = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _publish(self):
+        self.host.publish_state(
+            np.asarray(self.q), dq=self.dq, quat=self.quat,
+            acc=self.acc, gyro=self.gyro, stamp_ns=rt.now_ns())
+
+    def _loop(self):
+        self._publish()
+        last_pub = time.time()
+        while not self._stop.is_set():
+            cmd = self.host.poll_cmd()
+            if cmd is None:
+                if time.time() - last_pub > 0.01:
+                    self._publish()
+                    last_pub = time.time()
+                time.sleep(0.0002)
+                continue
+            out = self.step(self.xi, self.q, self.foot_l, self.foot_r,
+                            jnp.asarray(cmd["q"]), jnp.asarray(cmd["tau"]),
+                            jnp.asarray(cmd["kp"]))
+            (self.xi, self.q, self.foot_l, self.foot_r,
+             quat, acc, gyro, dq) = out
+            self.quat = np.asarray(quat)
+            self.acc = np.asarray(acc)
+            self.gyro = np.asarray(gyro)
+            self.dq = np.asarray(dq)
+            self.steps_taken += 1
+            self._publish()
+            last_pub = time.time()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self.host.close()
+
+
+def test_session_walks_with_kf():
+    """Session-level walking with KF state estimation over the UDP link:
+    the robot holds height and makes forward progress with the controller
+    acting ONLY on wire sensors + the filter (no ground truth)."""
+    base = 17650 + int(time.time() * 10) % 200
+    sp, cp = base, base + 1
+    cfg = ControllerConfig.walking()
+    plant = WirePlant(cfg, sp, cp)
+    try:
+        with ses.ControlSession(cfg, host_ip="127.0.0.1", state_port=sp,
+                                cmd_port=cp) as session:
+            # seed the filter at the known start pose (the in-sim harness
+            # does the same, control/rollout.py:95-100)
+            truth = np.asarray(plant.xi)
+            session.kf = session.kf.replace(
+                x_hat=session.kf.x_hat
+                .at[0:3].set(jnp.asarray(truth[3:6]))
+                .at[6:9].set(plant.foot_l)
+                .at[9:12].set(plant.foot_r))
+            iters = 1500          # 2.5 gait cycles at dt = 1 ms
+            stats = session.run(iterations=iters, hz=1000.0, use_kf=True,
+                                est_odom_every=5)
+        assert stats["sent"] == iters
+        xi = np.asarray(plant.xi)
+        # the plant consumed (almost) every command
+        assert plant.steps_taken > iters * 0.9
+        # height held near the commanded 0.65 m — the robot is walking,
+        # not falling (a fallen/diverged run leaves z far outside this)
+        assert 0.55 < xi[5] < 0.75, xi[5]
+        # upright
+        assert abs(xi[0]) < 0.2 and abs(xi[1]) < 0.2, xi[0:2]
+        # forward progress toward the commanded +x velocity
+        assert xi[3] > 0.1, xi[3]
+        # the filter tracked the truth (position error small)
+        est = np.asarray(session.kf.x_hat[0:3])
+        assert np.linalg.norm(est - xi[3:6]) < 0.1
+        # covariance stream went out (a tick only publishes when its IMU
+        # packet was fresh, so allow a small shortfall from UDP timing)
+        assert stats["est_odom_published"] >= iters // 10
+        got = plant.host.poll_est_odom()
+        assert got is not None and np.isfinite(got["cov_diag"]).all()
+    finally:
+        plant.close()
