@@ -1,4 +1,4 @@
-"""Benchmark: batched TRON1 MPC solves/s per chip.
+"""Benchmark: batched TRON1 MPC solves/s per chip + on-chip quality gate.
 
 Runs the full walking-controller tick (gait + placement + swing IK +
 contact-scheduled SRBD GRF MPC + plant step) over a scenario batch on one
@@ -6,8 +6,17 @@ chip and reports throughput against the BASELINE.json north-star target of
 1,000 solves/s/chip, plus the p50 single-solve latency vs the 5 ms dtMPC
 real-time budget (include/MPCParam.h:46-47).
 
+It then runs the CLOSED-LOOP QUALITY GATE on the same chip (a batched
+walking rollout, truth- and KF-estimated): mean height vs the commanded
+0.65 m, velocity tracking, and NaN checks.  Two classes of silent
+regression (bf16 matmul-precision degradation, warm-start poisoning) were
+only ever visible in closed-loop quality on real hardware — this gate is
+the mechanized pre-commit check for them (see NOTES.md), and its result is
+written to bench_quality.json for per-round archiving.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "quality": {...,"ok": bool}, ...}
 """
 
 import json
@@ -20,6 +29,54 @@ import numpy as np
 
 TARGET_SOLVES_PER_S = 1000.0     # BASELINE.md north star (v5e chip)
 DT_MPC_BUDGET_S = 0.005          # reference re-solve interval
+
+
+def quality_gate(skip_kf: bool = False) -> dict:
+    """Closed-loop walking quality on the current backend.
+
+    Truth-estimator path: B=64 perturbed scenarios, 1500 ticks (2.5 gait
+    cycles); healthy = mean height within 0.02 m of the commanded 0.65,
+    mean vx within 0.15 m/s of the commanded 0.5, no NaN.
+    KF path: single scenario, 1200 ticks; healthy = height floor > 0.55
+    and no NaN (the filter's small steady-state bias is expected — the
+    CPU suite pins the same envelope, tests/test_kf_in_loop.py)."""
+    import dataclasses
+    from mpc_limx_control_tpu.core.config import ControllerConfig
+    from mpc_limx_control_tpu.control import rollout as ro
+
+    cfg = ControllerConfig.walking()
+    B = 64
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    key = jax.random.PRNGKey(7)
+    s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+        0.05 * jax.random.normal(key, (B,), jnp.float32)))
+    final, m = jax.jit(
+        lambda s: ro.batched_rollout(cfg, s, 1500))(s0)
+    h = np.asarray(m["height"])            # [B, T]
+    vx = np.asarray(m["velocity"])[..., 0]
+    height_mean = float(h[:, -400:].mean())
+    vx_mean = float(vx[:, -400:].mean())
+    nan_free = not (np.isnan(h).any() or np.isnan(vx).any())
+    q = {
+        "walk_height_mean": round(height_mean, 4),
+        "walk_vx_mean": round(vx_mean, 4),
+        "walk_nan_free": nan_free,
+        "walk_ok": bool(nan_free and abs(height_mean - 0.65) < 0.02
+                        and abs(vx_mean - 0.5) < 0.15),
+    }
+    if not skip_kf:
+        kcfg = dataclasses.replace(cfg, estimator_mode="kf")
+        k0 = ro.initial_plant_state(kcfg)
+        _, km = jax.jit(lambda s: ro.rollout(kcfg, s, 1200))(k0)
+        kh = np.asarray(km["height"])
+        cov = np.asarray(km["kf_cov_pos"])
+        q["kf_height_min"] = round(float(kh.min()), 4)
+        q["kf_nan_free"] = bool(not np.isnan(kh).any())
+        q["kf_cov_pos_final"] = round(float(cov[-1].mean()), 6)
+        q["kf_ok"] = bool(q["kf_nan_free"] and kh.min() > 0.55
+                          and np.isfinite(cov).all())
+    q["ok"] = bool(q["walk_ok"] and q.get("kf_ok", True))
+    return q
 
 
 def main():
@@ -76,6 +133,12 @@ def main():
         lats.append((time.perf_counter() - t0) / K)
     p50 = float(np.median(lats))
 
+    quality = quality_gate(
+        skip_kf=os.environ.get("BENCH_SKIP_KF", "") == "1")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_quality.json"), "w") as fh:
+        json.dump({"device": str(dev), "quality": quality}, fh, indent=1)
+
     print(json.dumps({
         "metric": "batched TRON1 walking MPC throughput (full tick incl. "
                   "contact-scheduled GRF QP, swing IK, plant step)",
@@ -86,6 +149,7 @@ def main():
         "batched_step_latency_ms": round(step_latency * 1e3, 3),
         "p50_single_solve_latency_ms": round(p50 * 1e3, 3),
         "p50_within_5ms_budget": p50 <= DT_MPC_BUDGET_S,
+        "quality": quality,
         "device": str(dev),
     }))
 

@@ -248,6 +248,14 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         "qp_residual": diag.qp_residual,
         "foot_target": diag.foot_target,
     }
+    if cfg.estimator_mode == "kf":
+        # covariance-health observability — the role of the reference's
+        # 200 Hz odom/pose-with-covariance stream
+        # (include/stateEstimator.h:404-419): the filter covariance
+        # diagonal for base position/velocity, per tick
+        cov_diag = jnp.diagonal(kf_new.p_cov, axis1=-2, axis2=-1)
+        metrics["kf_cov_pos"] = cov_diag[..., 0:3]
+        metrics["kf_cov_vel"] = cov_diag[..., 3:6]
     return new_state, metrics
 
 
