@@ -184,9 +184,27 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     hu = jnp.asarray([0.0, 0.0, 0.0, 0.0, c.fz_max, -c.fz_min], dtype)
     h = jnp.tile(hu, N)
 
+    if c.solver.method == "admm_fused" and qp_warm is not None:
+        # fused condensation + warm-ADMM Pallas kernel: the band-form
+        # H/f build, the (H + rho G'G) Cholesky, and all ADMM iterations
+        # run in ONE kernel in VMEM (ops/mpc_fused_pallas.py) — no
+        # condensed QP is ever materialized in HBM.  Cold solves (no warm
+        # state yet) fall through to the generic ADMM path below.
+        from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
+        solver = fqp.make_admm_fused(c)
+        sol, qp_state = solver(Ad, Bd_t, x_ref, xi0, qp_warm[0], qp_warm[1])
+        u0 = sol.u[:3]
+        left_now = on_l[0] > 0.5
+        zeros3 = jnp.zeros_like(u0)
+        grf = jnp.where(left_now,
+                        jnp.concatenate([u0, zeros3], -1),
+                        jnp.concatenate([zeros3, u0], -1))
+        xi_pred = Ad @ xi0 + Bd_t[0] @ u0
+        return grf, sol.residual, xi_pred, qp_state
+
     qp = cnd.condense(Ad, Bd_t, Q, R, P, N, xi0, x_ref,
                       None, None, extra_G=G, extra_h=h)
-    if c.solver.method == "admm":
+    if c.solver.method in ("admm", "admm_fused"):
         # single-factorization ADMM alternative (SolverConfig.method):
         # ONE Cholesky of (H + rho G'G) per solve and matvec-only
         # iterations — ~2x cheaper than the warm PDIP at matched

@@ -84,7 +84,7 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
         qp_z = jnp.zeros((*batch, 3 * N), dtype)
         # PDIP threads multipliers (strictly positive); ADMM threads the
         # scaled dual y, which starts at zero
-        if cfg.srbd.solver.method == "admm":
+        if cfg.srbd.solver.method in ("admm", "admm_fused"):
             qp_lam = jnp.zeros((*batch, 6 * N), dtype)
         else:
             qp_lam = jnp.ones((*batch, 6 * N), dtype)

@@ -131,9 +131,14 @@ class SolverConfig:
       steps; the default for accuracy-critical solves.
     * ``admm``: over-relaxed ADMM with a cached Cholesky factor; cheaper per
       iteration and warm-startable across MPC ticks.
+    * ``admm_fused``: the same warm ADMM fused with the condensation into
+      ONE Pallas kernel (ops/mpc_fused_pallas.py) — band-form H/f build,
+      in-VMEM Cholesky, factor-form iterations, zero HBM intermediates;
+      ~3x the ``admm`` path on the walking shapes.  Falls back to ``admm``
+      semantics for cold (unwarmed) solves and off-TPU backends.
     """
 
-    method: str = "pdip"         # "pdip" | "admm"
+    method: str = "pdip"         # "pdip" | "admm" | "admm_fused"
     iters: int = 20              # fixed Newton / ADMM iteration count
     warm_iters: int = 6          # iteration count when warm-started
     admm_rho: float = 1.0
@@ -239,7 +244,14 @@ class SRBDConfig:
                    # rho=1.0 the 8-iteration warm solve lags a
                    # decelerating reference (~0.22 m/s residual velocity
                    # vs 0.19 at rho=0.3 and 0.17 at convergence).
-                   solver=SolverConfig(method="admm", iters=12,
+                   # admm_fused: the warm ADMM + condensation fused into
+                   # one Pallas kernel (ops/mpc_fused_pallas.py) — ~3x
+                   # the XLA composition on the walking shapes and
+                   # ~1000x closer to the f32 CPU reference (exact
+                   # triangular solves vs the explicit f32 K^-1).
+                   # Cold solves and non-TPU backends use the generic
+                   # ADMM path automatically.
+                   solver=SolverConfig(method="admm_fused", iters=12,
                                        admm_rho=0.3, admm_warm_iters=8))
 
 

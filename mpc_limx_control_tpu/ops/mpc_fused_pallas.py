@@ -1,0 +1,495 @@
+"""Fused per-scenario MPC Pallas kernel: condensation + warm ADMM in VMEM.
+
+The walking GRF MPC pipeline (reference src/QPSolver.cpp:31-106 — the
+O(N^2) dense condensation + QP solve) spends ~77% of the batched tick in
+small-matrix ops (60x60-class) that XLA executes 10-50x off roofline:
+every intermediate (prediction matrices, QB, H, K, L, L^-1, K^-1, M1)
+round-trips HBM, and the batched Cholesky/triangular ops fragment into
+chains of tiny kernels.
+
+This kernel fuses the ENTIRE per-scenario solve into one Pallas program in
+batch-last layout [..., 128 lanes], with zero HBM intermediates:
+
+  1. band-form condensation (LTI Ad + LTV Bd + diagonal weights):
+         W_k = Q + Ad' W_{k+1} Ad          (backward Gramian recursion)
+         K[j,k]/2 = Bd_j' (Ad')^{k-j} W_k Bd_k   (+ R, cone, reg on diag)
+         f_j/2 = Bd_j' s_j,  s_j = q_{j+1} err_{j+1} + Ad' s_{j+1}
+     identical math to ops/condense.py:condense_lti_diag, which equals the
+     reference cost layout (src/QPSolver.cpp:50-60) exactly;
+  2. in-place column-major Cholesky of K = H + rho G'G + reg I
+     (the ops/chol_pallas.py fast-kernel pattern);
+  3. `iters` over-relaxed ADMM iterations in factor form — each iteration
+     is one forward/backward substitution pair plus the friction-cone
+     projection (identical iterates to ops/qp.py:_batched_admm, but exact
+     triangular solves instead of the explicit f32 K^-1);
+  4. splitting residual, all in VMEM.
+
+Only dynamic-LEADING-index ref accesses are used (Mosaic-safe; the
+non-leading mirror writes of the symmetric K are handled by a static
+60-step symmetrization pass), no in-kernel reshapes or transposes, and the
+only MXU ops contract against compile-time-constant cone matrices.
+
+Per 128-lane block the whole solve is ~100k VPU cycles; at B=4096 the
+fused path replaces ~31 ms of XLA ops with ~3-4 ms.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpc_limx_control_tpu.core.types import QPSolution
+
+LANES = 128
+
+
+def _mm_lane(A, Bv, nx: int):
+    """Per-lane contraction C[y,u,l] = sum_x A[x,y,l] * Bv[x,u,l].
+
+    A [nx, p, L], Bv [nx, q, L] -> [p, q, L]; static nx-step accumulation
+    (outer products over lanes — pure VPU, no relayout)."""
+    acc = A[0][:, None, :] * Bv[0][None, :, :]
+    for x in range(1, nx):
+        acc = acc + A[x][:, None, :] * Bv[x][None, :, :]
+    return acc
+
+
+def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
+                rho: float, alpha: float, reg: float,
+                # refs (inputs):
+                ad_ref, bd_ref, xref_ref, x0_ref, zw_ref, yw_ref,
+                qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
+                # refs (outputs):
+                z_out, y_out, res_out,
+                # refs (scratch):
+                S, w_ref, qe_ref, f_ref, dg_ref, Yv):
+    n = N * nu
+    m = N * mu_
+    L = LANES
+    f32 = jnp.float32
+
+    q_v = qv_ref[:]                                       # [nx, 1]
+    p_v = pv_ref[:]                                       # [nx, 1]
+    # diagonal-block constant: 2R + rho Gu'Gu + reg I  (the j == k add-on)
+    diag_blk = dblk_ref[:]                                # [nu, nu]
+    # expanded cone matrices for MXU matvecs (batch-invariant constants)
+    Gmat_c = gmat_ref[:]                                  # [m, n]
+    GmatT_c = gmt_ref[:]                                  # [n, m]
+    h_c = h_ref[:]                                        # [m, 1]
+
+    ad = ad_ref[:]                                        # [nx, nx, L]
+
+    def ad_row(x):
+        return ad[x]                                      # [nx, L]
+
+    # ---- 1a. backward Gramian recursion W_k -> w_ref ----------------
+    def w_step(t, W):
+        k = N - 1 - t
+        # Z[y,c,l] = sum_x Ad[x,y,l] W[x,c,l]   (Ad' W)
+        Z = _mm_lane(ad, W, nx)
+        # Wn[y,c',l] = sum_c Z[y,c,l] Ad[c,c',l] = sum_c Z[:,c] x Ad[c,:]
+        Wn = Z[:, 0, :][:, None, :] * ad[0][None, :, :]
+        for c in range(1, nx):
+            Wn = Wn + Z[:, c, :][:, None, :] * ad[c][None, :, :]
+        Wq = Wn + jnp.where(
+            lax.broadcasted_iota(jnp.int32, (nx, nx, L), 0)
+            == lax.broadcasted_iota(jnp.int32, (nx, nx, L), 1),
+            q_v[:, :, None] * jnp.ones((nx, nx, L), f32), 0.0)
+        # k == N-1: W = diag(p); else diag(q) + Ad' W Ad
+        is_last = t == 0
+        Wp = jnp.where(
+            lax.broadcasted_iota(jnp.int32, (nx, nx, L), 0)
+            == lax.broadcasted_iota(jnp.int32, (nx, nx, L), 1),
+            p_v[:, :, None] * jnp.ones((nx, nx, L), f32), 0.0)
+        W_new = jnp.where(is_last, Wp, Wq)
+        w_ref[pl.ds(nx * k, nx)] = W_new
+        return W_new
+
+    W0 = jnp.zeros((nx, nx, L), f32)
+    lax.fori_loop(0, N, w_step, W0)
+
+    # ---- 1b. band emission: columns k (dynamic), rows j (static) ----
+    # S (column-major scratch) gets S[nu*k+b, nu*j+a] = K[nu*j+a, nu*k+b]
+    # for j <= k — the upper triangle of K, written with the dynamic
+    # index leading.
+    def col_step(k, _):
+        Wk = w_ref[pl.ds(nx * k, nx)]                     # [nx, nx, L]
+        Bk = bd_ref[pl.ds(nx * k, nx)]                    # [nx, nu, L]
+        t0 = _mm_lane(Wk, Bk, nx)                         # W_k B_k [nx?]
+        # NB _mm_lane(Wk, Bk): sum_x Wk[x,y] Bk[x,u] = (W_k' B_k)[y,u];
+        # W is symmetric so this is W_k B_k.
+        t = t0
+        for j in range(N - 1, -1, -1):
+            # when j == k the chain starts fresh at W_k B_k
+            t = jnp.where(j == k, t0, t)
+            Bj = bd_ref[nx * j:nx * (j + 1)]              # [nx, nu, L]
+            # E[b,a,l] = sum_x t[x,b,l] Bj[x,a,l]  ( = (Bd_j' T)' )
+            E = _mm_lane(t, Bj, nx)                       # [nu, nu, L]
+            blk = 2.0 * E + jnp.where(
+                j == k, jnp.swapaxes(diag_blk, 0, 1)[:, :, None]
+                * jnp.ones((nu, nu, L), f32), 0.0)
+
+            @pl.when(j <= k)
+            def _():
+                S[pl.ds(nu * k, nu), nu * j:nu * (j + 1), :] = blk
+
+            # t <- Ad' t for the next (smaller) j
+            t = jnp.where(j <= k, _mm_lane(ad, t, nx), t)
+        return 0
+
+    lax.fori_loop(0, N, col_step, 0)
+
+    # ---- 1c. symmetrize S in place (static column sweep) -------------
+    # After emission S[c, r] holds K[r, c] only for r <= c; fill r > c
+    # from the mirror S[r, c] (columns r > c are still pristine when
+    # column c is processed in increasing order).
+    r2n = lax.broadcasted_iota(jnp.int32, (n, L), 0)
+    for c in range(n):
+        mirror = S[:, c, :]                               # [n, L] static
+        S[c] = jnp.where(r2n <= c, S[c], mirror)
+
+    # ---- 1d. linear term f: forward error sweep + adjoint ------------
+    x = x0_ref[:]                                         # [nx, L]
+
+    def x_step(j, x):
+        # x_{j+1} = Ad x_j : xn[y,l] = sum_c Ad[y,c,l] x[c,l].
+        # ad[x] is ROW x of Ad, so contract over the SECOND index.
+        xn = ad[:, 0, :] * x[0:1]
+        for c in range(1, nx):
+            xn = xn + ad[:, c, :] * x[c:c + 1]
+        qw = jnp.where(j == N - 1, p_v, q_v)              # [nx, 1]
+        qe_ref[j] = qw * (xn - xref_ref[j + 1])
+        return xn
+
+    lax.fori_loop(0, N, x_step, x)
+
+    def s_step(t, s):
+        j = N - 1 - t
+        sj = qe_ref[j] + _ad_t_vec(ad, s, nx)
+        Bj_dyn = bd_ref[pl.ds(nx * j, nx)]                # [nx, nu, L]
+        fj = Bj_dyn[0, :, :] * sj[0:1]
+        for xx in range(1, nx):
+            fj = fj + Bj_dyn[xx, :, :] * sj[xx:xx + 1]
+        f_ref[pl.ds(nu * j, nu)] = 2.0 * fj
+        return sj
+
+    lax.fori_loop(0, N, s_step, jnp.zeros((nx, L), f32))
+
+    # ---- 2. in-place column-major Cholesky of S ----------------------
+    def chol_step(j, _):
+        col = S[j]                                        # [n, L]
+        d = jnp.maximum(
+            jnp.sum(jnp.where(r2n == j, col, 0.0), axis=0), 1e-30)
+        inv = lax.rsqrt(d)
+        colj = jnp.where(r2n > j, col * inv[None, :], 0.0)
+        sq = jnp.sqrt(d)
+        S[j] = colj + jnp.where(r2n == j, sq[None, :], 0.0)
+        dg_ref[pl.ds(j, 1)] = sq[None, :]
+        rc_r = lax.broadcasted_iota(jnp.int32, (n, n, L), 0)
+        rc_c = lax.broadcasted_iota(jnp.int32, (n, n, L), 1)
+        trail = (rc_r > j) & (rc_c > j)
+        S[:] = S[:] - jnp.where(trail,
+                                colj[:, None, :] * colj[None, :, :], 0.0)
+        return 0
+
+    lax.fori_loop(0, n, chol_step, 0)
+
+    # ---- 3. warm ADMM in factor form ---------------------------------
+    def solve_inplace():
+        """K^{-1} Yv in place: Yv [n, L] holds rhs, gets solution."""
+        def fwd_step(j, _):
+            dj = jnp.maximum(dg_ref[pl.ds(j, 1)], 1e-30)  # [1, L]
+            yj = Yv[pl.ds(j, 1)] / dj                     # [1, L]
+            colj = jnp.where(r2n > j, S[j], 0.0)          # [n, L]
+            Yv[:] = (jnp.where(r2n == j, yj, Yv[:])
+                     - jnp.where(r2n > j, colj * yj, 0.0))
+            return 0
+
+        lax.fori_loop(0, n, fwd_step, 0)
+
+        def bwd_step(t, _):
+            j = n - 1 - t
+            dj = jnp.maximum(dg_ref[pl.ds(j, 1)], 1e-30)
+            colj = jnp.where(r2n > j, S[j], 0.0)
+            partial = jnp.sum(colj * Yv[:], axis=0, keepdims=True)
+            xj = (Yv[pl.ds(j, 1)] - partial) / dj
+            Yv[:] = jnp.where(r2n == j, xj, Yv[:])
+            return 0
+
+        lax.fori_loop(0, n, bwd_step, 0)
+
+    def g_mv(z):
+        """G z via constant-operand MXU matmul: [m,n]x[n,L].
+
+        precision=HIGHEST: the TPU MXU default truncates inputs to bf16,
+        whose ~1e-2 relative error on O(100 N) forces measurably degrades
+        closed-loop height tracking (the same failure class as the
+        NOTES.md K^-1 pin) — the 3-pass f32 matmul is required here."""
+        return jax.lax.dot_general(
+            Gmat_c, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def gt_mv(w):
+        return jax.lax.dot_general(
+            GmatT_c, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    f_val = f_ref[:]                                      # [n, L]
+    v = jnp.minimum(g_mv(zw_ref[:]), h_c)
+    y = yw_ref[:]
+
+    def admm_iter(_, carry):
+        v, y = carry
+        Yv[:] = -f_val + rho * gt_mv(v - y)
+        solve_inplace()
+        gz = g_mv(Yv[:])
+        gzr = alpha * gz + (1.0 - alpha) * v
+        v_new = jnp.minimum(gzr + y, h_c)
+        y_new = y + gzr - v_new
+        return (v_new, y_new)
+
+    v, y = lax.fori_loop(0, iters, admm_iter, (v, y))
+
+    Yv[:] = -f_val + rho * gt_mv(v - y)
+    solve_inplace()
+    z = Yv[:]
+
+    r_prim = jnp.max(jnp.abs(g_mv(z) - v), axis=0, keepdims=True)
+    denom = 1.0 + jnp.max(jnp.abs(f_val), axis=0, keepdims=True)
+
+    z_out[:] = z
+    y_out[:] = y
+    res_out[:] = r_prim / denom
+
+
+def _ad_t_vec(ad, s, nx: int):
+    """(Ad' s)[y,l] = sum_x Ad[x,y,l] s[x,l]."""
+    acc = ad[0] * s[0:1]
+    for x in range(1, nx):
+        acc = acc + ad[x] * s[x:x + 1]
+    return acc
+
+
+def _pad_batch(x, B_pad, fill=0.0):
+    B = x.shape[0]
+    if B == B_pad:
+        return x
+    pad = [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "iters", "rho", "alpha", "reg",
+                              "q_diag", "r_diag", "p_diag", "Gu", "h",
+                              "interpret"))
+def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
+                     N: int, iters: int, rho: float, alpha: float,
+                     reg: float, q_diag, r_diag, p_diag, Gu, h,
+                     interpret: bool = False):
+    """Batched fused condensation + warm-ADMM GRF solve.
+
+    Ad [B,nx,nx]; Bd_t [B,N,nx,nu]; x_ref [B,N+1,nx]; x0 [B,nx];
+    z_warm [B,N*nu]; y_warm [B,N*mu].  Static: the diagonal weights,
+    cone rows Gu [mu][nu] and bounds h [N*mu] as nested tuples.
+    Returns (z [B,n], y [B,m], residual [B]).
+    """
+    B = Ad.shape[0]
+    nx = Ad.shape[-1]
+    nu = Bd_t.shape[-1]
+    mu_ = len(Gu)
+    n = N * nu
+    m = N * mu_
+    f32 = jnp.float32
+
+    B_pad = ((B + LANES - 1) // LANES) * LANES
+    Ad = _pad_batch(Ad, B_pad)
+    # padded lanes get Ad = I to keep the Cholesky positive definite
+    if B_pad != B:
+        eye = jnp.eye(nx, dtype=f32)
+        lane = jnp.arange(B_pad)[:, None, None]
+        Ad = Ad + jnp.where(lane >= B, eye, 0.0)
+    Bd_t = _pad_batch(Bd_t, B_pad)
+    x_ref = _pad_batch(x_ref, B_pad)
+    x0 = _pad_batch(x0, B_pad)
+    z_warm = _pad_batch(z_warm, B_pad)
+    y_warm = _pad_batch(y_warm, B_pad)
+
+    # batch-last layouts
+    ad_t = jnp.transpose(Ad, (1, 2, 0)).astype(f32)            # [nx,nx,B]
+    bd_flat = jnp.transpose(Bd_t, (1, 2, 3, 0)).reshape(
+        N * nx, nu, B_pad).astype(f32)                         # [N*nx,nu,B]
+    xr_t = jnp.transpose(x_ref, (1, 2, 0)).astype(f32)         # [N+1,nx,B]
+    x0_t = jnp.transpose(x0, (1, 0)).astype(f32)               # [nx,B]
+    zw_t = jnp.transpose(z_warm, (1, 0)).astype(f32)           # [n,B]
+    yw_t = jnp.transpose(y_warm, (1, 0)).astype(f32)           # [m,B]
+
+    kernel = functools.partial(
+        _mpc_kernel, N, nx, nu, mu_, iters, float(rho), float(alpha),
+        float(reg))
+
+    # batch-invariant constant inputs (pallas kernels may not capture
+    # array constants — they are passed as replicated blocks instead)
+    q_np = np.asarray(q_diag, np.float32)[:, None]
+    p_np = np.asarray(p_diag, np.float32)[:, None]
+    Gu_np = np.asarray(Gu, np.float32)
+    dblk_np = (2.0 * np.diag(np.asarray(r_diag, np.float32))
+               + float(rho) * (Gu_np.T @ Gu_np)
+               + float(reg) * np.eye(nu, dtype=np.float32))
+    gmat_np = np.kron(np.eye(N, dtype=np.float32), Gu_np)      # [m, n]
+    h_np = np.asarray(h, np.float32)[:, None]
+
+    grid = (B_pad // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (*shape, LANES),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, (lambda i, _nd=nd: (0,) * _nd),
+            memory_space=pltpu.VMEM)
+
+    z_t, y_t, res_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec((nx, nx)),        # ad
+            spec((N * nx, nu)),    # bd
+            spec((N + 1, nx)),     # x_ref
+            spec((nx,)),           # x0
+            spec((n,)),            # z_warm
+            spec((m,)),            # y_warm
+            const_spec((nx, 1)),   # q_diag
+            const_spec((nx, 1)),   # p_diag
+            const_spec((nu, nu)),  # diag block
+            const_spec((m, n)),    # Gmat
+            const_spec((n, m)),    # Gmat'
+            const_spec((m, 1)),    # h
+        ],
+        out_specs=(spec((n,)), spec((m,)), spec((1,))),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B_pad), f32),
+            jax.ShapeDtypeStruct((m, B_pad), f32),
+            jax.ShapeDtypeStruct((1, B_pad), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), f32),        # S
+            pltpu.VMEM((N * nx, nx, LANES), f32),  # w_ref
+            pltpu.VMEM((N, nx, LANES), f32),       # qe_ref
+            pltpu.VMEM((n, LANES), f32),           # f_ref
+            pltpu.VMEM((n, LANES), f32),           # dg_ref
+            pltpu.VMEM((n, LANES), f32),           # Yv
+        ],
+        interpret=interpret,
+    )(ad_t, bd_flat, xr_t, x0_t, zw_t, yw_t,
+      jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
+      jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np))
+
+    z = jnp.transpose(z_t, (1, 0))[:B]
+    y = jnp.transpose(y_t, (1, 0))[:B]
+    res = res_t[0, :B]
+    return z, y, res
+
+
+def make_admm_fused(cfg_srbd, use_pallas=None):
+    """Warm-started fused condensation+ADMM solver for the single-support
+    walking QP: fn(Ad, Bd_t, x_ref, x0, z_warm, y_warm) ->
+    (QPSolution, (z, y)).
+
+    All weights/cone constants come from the SRBDConfig (compile-time
+    Python floats — nothing traced is closed over, which is what broke
+    the round-1 custom_vmap kron variant).  The unbatched path runs the
+    XLA reference composition (condense + _batched_admm); vmap dispatches
+    to the fused Pallas kernel.
+    """
+    import numpy as _np
+
+    from mpc_limx_control_tpu.ops import condense as _cnd
+    from mpc_limx_control_tpu.ops import qp as _qps
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    c = cfg_srbd
+    N = c.horizon
+    mu = float(c.friction_mu)
+    Gu = ((1.0, 0.0, -mu), (-1.0, 0.0, -mu),
+          (0.0, 1.0, -mu), (0.0, -1.0, -mu),
+          (0.0, 0.0, 1.0), (0.0, 0.0, -1.0))
+    hu = (0.0, 0.0, 0.0, 0.0, float(c.fz_max), -float(c.fz_min))
+    h = tuple(hu) * N
+    q_diag = tuple(float(v) for v in c.q_diag)
+    r_diag = tuple(float(v) for v in c.r_diag)
+    p_diag = tuple(float(c.p_scale) * float(v) for v in c.q_diag)
+    iters = int(c.solver.admm_warm_iters)
+    rho = float(c.solver.admm_rho)
+    alpha = float(c.solver.admm_alpha)
+    reg = 1e-6
+
+    def _xla_batched(Ad, Bd_t, x_ref, x0, z_warm, y_warm):
+        """Batched XLA composition (condense + _batched_admm): the
+        reference semantics, used off-TPU and for unbatched calls."""
+        dtype = x0.dtype
+        B = x0.shape[0]
+        Q = jnp.diag(jnp.asarray(q_diag, dtype))
+        R = jnp.diag(jnp.asarray(r_diag, dtype))
+        P = jnp.diag(jnp.asarray(p_diag, dtype))
+        G = jnp.kron(jnp.eye(N, dtype=dtype), jnp.asarray(Gu, dtype))
+        hv = jnp.asarray(h, dtype)
+        qp = jax.vmap(lambda a, b, xr, xx: _cnd.condense(
+            a, b, Q, R, P, N, xx, xr, None, None,
+            extra_G=G, extra_h=hv))(Ad, Bd_t, x_ref, x0)
+        return _qps._batched_admm(
+            qp.H, qp.f, jnp.broadcast_to(G, (B, *G.shape)),
+            jnp.broadcast_to(hv, (B, *hv.shape)),
+            z_warm, y_warm, iters, rho, alpha, False)
+
+    @jax.custom_batching.custom_vmap
+    def solve(Ad, Bd_t, x_ref, x0, z_warm, y_warm):
+        sol, zy = _xla_batched(Ad[None], Bd_t[None], x_ref[None],
+                               x0[None], z_warm[None], y_warm[None])
+        return (QPSolution(u=sol.u[0], iterations=sol.iterations,
+                           residual=sol.residual[0]),
+                (zy[0][0], zy[1][0]))
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
+                for a, b in zip(args, in_batched)]
+        Ad, Bd_t, x_ref, x0, z_warm, y_warm = args
+        if use_pallas:
+            # use_pallas == "interpret" runs the kernel through the
+            # pallas interpreter (off-TPU kernel coverage in tests)
+            z, y, res = fused_walking_qp(
+                Ad, Bd_t, x_ref, x0, z_warm, y_warm,
+                N=N, iters=iters, rho=rho, alpha=alpha, reg=reg,
+                q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
+                interpret=use_pallas == "interpret")
+            sol = QPSolution(u=z, iterations=iters, residual=res)
+            zy = (z, y)
+        else:
+            # off-TPU (CPU tests, multichip dryrun): the interpreter-mode
+            # kernel is orders of magnitude too slow for closed-loop
+            # suites -- run the equivalent XLA composition instead.  The
+            # kernel itself is still covered off-TPU by the explicit
+            # interpret-mode tests (tests/test_mpc_fused.py).
+            sol, zy = _xla_batched(Ad, Bd_t, x_ref, x0, z_warm, y_warm)
+        spec = (QPSolution(u=True, iterations=False, residual=True),
+                (True, True))
+        return (sol, zy), spec
+
+    del _np
+    return solve
