@@ -92,7 +92,8 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
                arm_l: jnp.ndarray, arm_r: jnp.ndarray,
                on_l: jnp.ndarray, on_r: jnp.ndarray, v_des: jnp.ndarray,
                yaw_rate_des: jnp.ndarray,
-               pos_anchor: jnp.ndarray | None = None):
+               pos_anchor: jnp.ndarray | None = None,
+               qp_warm=None):
     """Solve the two-foot SRBD GRF MPC for ONE scenario (standing / double
     support: nu = 6 with schedule gating).
 
@@ -100,7 +101,14 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
     stance (current position for a currently-standing foot; the placement
     target for a foot that lands within the horizon).
     on_l/on_r [N] in {0,1}: stance schedule per foot over the horizon.
-    Returns (grf [6] world forces (L,R), residual, xi_pred [13]).
+
+    Solver dispatch mirrors the walking path: with warm state and
+    method "admm"/"admm_fused" the solve is the warm ADMM (fused Pallas
+    kernel on TPU — the two-foot variant of ops/mpc_fused_pallas.py);
+    otherwise the cold fixed-iteration PDIP.
+
+    Returns (grf [6] world forces (L,R), residual, xi_pred [13],
+    qp_state).
     """
     c = cfg.srbd
     N = c.horizon
@@ -123,15 +131,28 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
     ], axis=1)                                          # [N, 6]
     Bd_t = Bd[None] * gate[:, None, :]                  # [N, 13, 6]
 
-    Q = jnp.diag(jnp.asarray(c.q_diag, dtype))
-    # input weight per foot (r_diag is per-GRF, duplicated for two feet)
-    R = jnp.diag(jnp.asarray(tuple(c.r_diag) * 2, dtype))
-    P = c.p_scale * Q
-
     x_ref = srbd.walking_reference(xi0, c, N, v_des, yaw_rate_des,
                                    height_des=cfg.ground_height + cfg.base_height,
                                    pos_anchor=pos_anchor)
 
+    if (c.solver.method in ("admm", "admm_fused")
+            and qp_warm is not None):
+        # NB the fused kernel's bounds are the full-stance constants —
+        # correct for the standing schedule (on_l = on_r = 1), which is
+        # the only schedule this warm path is used with (tick() routes
+        # walking gaits to stance_mpc_single_support).
+        from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
+        solver = fqp.make_admm_fused(c, two_feet=True)
+        sol, qp_state = solver(Ad, Bd_t, x_ref, xi0, qp_warm[0],
+                               qp_warm[1])
+        grf = sol.u[:6]
+        xi_pred = Ad @ xi0 + Bd_t[0] @ grf
+        return grf, sol.residual, xi_pred, qp_state
+
+    Q = jnp.diag(jnp.asarray(c.q_diag, dtype))
+    # input weight per foot (r_diag is per-GRF, duplicated for two feet)
+    R = jnp.diag(jnp.asarray(tuple(c.r_diag) * 2, dtype))
+    P = c.p_scale * Q
     G = _cone_rows(cfg, dtype)
     h = _cone_bounds(cfg, on_l, on_r, dtype)
 
@@ -141,7 +162,7 @@ def stance_mpc(cfg: ControllerConfig, odom: OdomState,
     sol = solver(qp.H, qp.f, qp.G, qp.h)
     grf = sol.u[:6]
     xi_pred = qp.A_blocks[1] @ xi0 + qp.B_blocks[1, 0] @ grf
-    return grf, sol.residual, xi_pred
+    return grf, sol.residual, xi_pred, None
 
 
 def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
@@ -327,10 +348,11 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
         arm_r = jnp.where(gait.left_swing, p_r_w, target_w)
     if cfg.mode == "stand":
         if grf_override is None:
-            grf, residual, xi_pred = stance_mpc(
+            grf, residual, xi_pred, qp_state = stance_mpc(
                 cfg, odom, arm_l, arm_r, on_l, on_r, v_des, yaw_rate_des,
-                pos_anchor=pos_anchor)
-            qp_state = qp_warm
+                pos_anchor=pos_anchor, qp_warm=qp_warm)
+            if qp_state is None:
+                qp_state = qp_warm
         else:
             grf = grf_override
             residual = jnp.zeros_like(odom.pos[..., 0])

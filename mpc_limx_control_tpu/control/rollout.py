@@ -79,15 +79,17 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
     q = jnp.concatenate([q_l, q_r], axis=-1)
 
     qp_z = qp_lam = None
-    if cfg.qp_warm_start and cfg.mode == "walk":
+    if cfg.qp_warm_start:
         N = cfg.srbd.horizon
-        qp_z = jnp.zeros((*batch, 3 * N), dtype)
+        # walk: single-support nz = 3N / m = 6N; stand: two-foot 6N / 12N
+        nu = 3 if cfg.mode == "walk" else 6
+        qp_z = jnp.zeros((*batch, nu * N), dtype)
         # PDIP threads multipliers (strictly positive); ADMM threads the
         # scaled dual y, which starts at zero
         if cfg.srbd.solver.method in ("admm", "admm_fused"):
-            qp_lam = jnp.zeros((*batch, 6 * N), dtype)
+            qp_lam = jnp.zeros((*batch, 2 * nu * N), dtype)
         else:
-            qp_lam = jnp.ones((*batch, 6 * N), dtype)
+            qp_lam = jnp.ones((*batch, 2 * nu * N), dtype)
     kf = prev_v = prev_q = None
     if cfg.estimator_mode == "kf":
         kf = KFState.initial(batch, cfg.estimator.initial_covariance,
@@ -154,7 +156,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
                             tau=jnp.zeros_like(state.q))
 
     qp_warm = None
-    if cfg.qp_warm_start and cfg.mode == "walk":
+    if cfg.qp_warm_start:
         qp_warm = (state.qp_z, state.qp_lam)
     cmd, diag = ctrl.tick(cfg, odom, joints, iteration,
                           grf_override=grf_override, qp_warm=qp_warm,
@@ -192,10 +194,14 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         q_r = kin.inverse_kinematics_analytic(
             gr, jnp.einsum("...ji,...j->...i", R_new,
                            state.foot_r - base_new), state.q[..., 3:])
+        if cfg.qp_warm_start and diag.qp_state is not None:
+            qp_z_new, qp_lam_new = diag.qp_state
+        else:
+            qp_z_new, qp_lam_new = state.qp_z, state.qp_lam
         new_state = PlantState(xi=xi_new,
                                q=jnp.concatenate([q_l, q_r], -1),
                                foot_l=state.foot_l, foot_r=state.foot_r,
-                               qp_z=state.qp_z, qp_lam=state.qp_lam,
+                               qp_z=qp_z_new, qp_lam=qp_lam_new,
                                kf=kf_new,
                                prev_v=(truth.v_pos
                                        if state.prev_v is not None

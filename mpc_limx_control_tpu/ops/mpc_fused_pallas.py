@@ -404,10 +404,14 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
     return z, y, res
 
 
-def make_admm_fused(cfg_srbd, use_pallas=None):
-    """Warm-started fused condensation+ADMM solver for the single-support
-    walking QP: fn(Ad, Bd_t, x_ref, x0, z_warm, y_warm) ->
-    (QPSolution, (z, y)).
+def make_admm_fused(cfg_srbd, use_pallas=None, two_feet: bool = False):
+    """Warm-started fused condensation+ADMM solver for the stance GRF QP:
+    fn(Ad, Bd_t, x_ref, x0, z_warm, y_warm) -> (QPSolution, (z, y)).
+
+    two_feet=False: the single-support walking form (nu = 3, one cone).
+    two_feet=True: the double-support standing form (nu = 6, block-diag
+    cone for both feet, input weights duplicated) — the stance_mpc QP of
+    control/controller.py with a full-stance schedule.
 
     All weights/cone constants come from the SRBDConfig (compile-time
     Python floats — nothing traced is closed over, which is what broke
@@ -426,13 +430,24 @@ def make_admm_fused(cfg_srbd, use_pallas=None):
     c = cfg_srbd
     N = c.horizon
     mu = float(c.friction_mu)
-    Gu = ((1.0, 0.0, -mu), (-1.0, 0.0, -mu),
-          (0.0, 1.0, -mu), (0.0, -1.0, -mu),
-          (0.0, 0.0, 1.0), (0.0, 0.0, -1.0))
-    hu = (0.0, 0.0, 0.0, 0.0, float(c.fz_max), -float(c.fz_min))
+    Gu1 = np.asarray(((1.0, 0.0, -mu), (-1.0, 0.0, -mu),
+                      (0.0, 1.0, -mu), (0.0, -1.0, -mu),
+                      (0.0, 0.0, 1.0), (0.0, 0.0, -1.0)), np.float32)
+    hu1 = (0.0, 0.0, 0.0, 0.0, float(c.fz_max), -float(c.fz_min))
+    r1 = tuple(float(v) for v in c.r_diag)
+    if two_feet:
+        Gu_np = np.zeros((12, 6), np.float32)
+        Gu_np[:6, :3] = Gu1
+        Gu_np[6:, 3:] = Gu1
+        Gu = tuple(tuple(float(v) for v in row) for row in Gu_np)
+        hu = tuple(hu1) * 2
+        r_diag = r1 * 2
+    else:
+        Gu = tuple(tuple(float(v) for v in row) for row in Gu1)
+        hu = tuple(hu1)
+        r_diag = r1
     h = tuple(hu) * N
     q_diag = tuple(float(v) for v in c.q_diag)
-    r_diag = tuple(float(v) for v in c.r_diag)
     p_diag = tuple(float(c.p_scale) * float(v) for v in c.q_diag)
     iters = int(c.solver.admm_warm_iters)
     rho = float(c.solver.admm_rho)
