@@ -75,3 +75,46 @@ def test_sharding_preserved_across_steps(cfg):
     s2, _ = step(s1, jnp.asarray(1.0))
     spec = s2.xi.sharding.spec
     assert spec == jax.sharding.PartitionSpec("data")
+
+
+def test_sharded_rollout_matches_single_device(cfg):
+    """Multi-STEP rollout under sharding: a lax.scan of the full tick
+    inside one sharded jit must reproduce the unsharded rollout bit-class
+    identically (per-shard checksum equality)."""
+    B = 16
+    steps = 20
+    mesh = pmesh.make_mesh()
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    key = jax.random.PRNGKey(2)
+    s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+        0.05 * jax.random.normal(key, (B,))))
+
+    run = pmesh.sharded_rollout(cfg, mesh, steps)
+    final_sh, stats = run(pmesh.shard_leading(s0, mesh), jnp.asarray(0.0))
+
+    final_1, metrics = jax.jit(
+        lambda s: ro.batched_rollout(cfg, s, steps))(s0)
+
+    np.testing.assert_allclose(np.asarray(final_sh.xi),
+                               np.asarray(final_1.xi), atol=1e-4)
+    # per-step replicated stats match the single-device means
+    np.testing.assert_allclose(
+        np.asarray(stats["mean_height"]),
+        np.asarray(jnp.mean(metrics["height"], axis=0)), atol=1e-5)
+    assert stats["mean_height"].shape == (steps,)
+
+
+def test_shard_map_rollout_matches(cfg):
+    B = 8
+    steps = 10
+    mesh = pmesh.make_mesh()
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    run = pmesh.shard_map_rollout(cfg, mesh, steps)
+    final, stats = run(pmesh.shard_leading(s0, mesh), jnp.asarray(0.0))
+    final_1, metrics = jax.jit(
+        lambda s: ro.batched_rollout(cfg, s, steps))(s0)
+    np.testing.assert_allclose(np.asarray(final.xi),
+                               np.asarray(final_1.xi), atol=1e-4)
+    np.testing.assert_allclose(
+        float(stats["mean_height"][-1]),
+        float(jnp.mean(metrics["height"][:, -1])), rtol=1e-5)
