@@ -205,15 +205,28 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     hu = jnp.asarray([0.0, 0.0, 0.0, 0.0, c.fz_max, -c.fz_min], dtype)
     h = jnp.tile(hu, N)
 
-    if c.solver.method == "admm_fused" and qp_warm is not None:
-        # fused condensation + warm-ADMM Pallas kernel: the band-form
-        # H/f build, the (H + rho G'G) Cholesky, and all ADMM iterations
-        # run in ONE kernel in VMEM (ops/mpc_fused_pallas.py) — no
-        # condensed QP is ever materialized in HBM.  Cold solves (no warm
-        # state yet) fall through to the generic ADMM path below.
-        from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
-        solver = fqp.make_admm_fused(c)
-        sol, qp_state = solver(Ad, Bd_t, x_ref, xi0, qp_warm[0], qp_warm[1])
+    if (c.solver.method in ("admm_fused", "riccati")
+            and qp_warm is not None):
+        # admm_fused: fused condensation + warm-ADMM Pallas kernel — the
+        # band-form H/f build, the (H + rho G'G) Cholesky, and all ADMM
+        # iterations in ONE kernel in VMEM (ops/mpc_fused_pallas.py); no
+        # condensed QP is ever materialized in HBM.
+        # riccati: same ADMM iterates with the x-updates factorized by a
+        # backward Riccati recursion in the sparse form (ops/riccati.py)
+        # — kept as the measured HPIPM-style alternative (4x slower than
+        # the fused kernel at B=4096 on v5e; see NOTES.md).
+        # Cold solves (no warm state yet) fall through to the generic
+        # ADMM path below.
+        if c.solver.method == "riccati":
+            from mpc_limx_control_tpu.ops import riccati as ricmod
+            solver = ricmod.make_admm_riccati_single(c)
+            sol, qp_state = solver(Ad, Bd_t, x_ref, xi0,
+                                   qp_warm[0], qp_warm[1])
+        else:
+            from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
+            solver = fqp.make_admm_fused(c)
+            sol, qp_state = solver(Ad, Bd_t, x_ref, xi0,
+                                   qp_warm[0], qp_warm[1])
         u0 = sol.u[:3]
         left_now = on_l[0] > 0.5
         zeros3 = jnp.zeros_like(u0)

@@ -136,9 +136,15 @@ class SolverConfig:
       in-VMEM Cholesky, factor-form iterations, zero HBM intermediates;
       ~3x the ``admm`` path on the walking shapes.  Falls back to ``admm``
       semantics for cold (unwarmed) solves and off-TPU backends.
+    * ``riccati``: same ADMM iterates with the x-updates factorized by a
+      backward Riccati recursion in the sparse (state-and-control) form
+      (ops/riccati.py, HPIPM-style: O(N nx^3) sequential steps, no dense
+      nz x nz matrix).  Measured 4x slower than ``admm_fused`` at B=4096
+      on v5e (the sequential scans lose to the fused dense kernel at
+      these tiny sizes) — kept as the validated alternative.
     """
 
-    method: str = "pdip"         # "pdip" | "admm" | "admm_fused"
+    method: str = "pdip"   # "pdip" | "admm" | "admm_fused" | "riccati"
     iters: int = 20              # fixed Newton / ADMM iteration count
     warm_iters: int = 6          # iteration count when warm-started
     admm_rho: float = 1.0
