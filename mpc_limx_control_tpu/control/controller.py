@@ -188,6 +188,25 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
     on_l = left_stance.astype(dtype)
     arms = jnp.where(on_l[:, None] > 0.5, arm_l[None], arm_r[None])  # [N,3]
+
+    if c.solver.method == "admm_fused" and qp_warm is not None:
+        # prep-fused path: the SRBD linearization, exact nilpotent ZOH,
+        # walking reference, band condensation, Cholesky, and all warm
+        # ADMM iterations run inside ONE Pallas kernel
+        # (ops/mpc_fused_pallas.py:make_walking_fused) — the XLA-side
+        # prep alone was ~6.7 ms at B=4096.
+        from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
+        solver = fqp.make_walking_fused(cfg)
+        sol, xi_pred, qp_state = solver(arms, xi0, v_des, yaw_rate_des,
+                                        qp_warm[0], qp_warm[1])
+        u0 = sol.u[:3]
+        left_now = on_l[0] > 0.5
+        zeros3 = jnp.zeros_like(u0)
+        grf = jnp.where(left_now,
+                        jnp.concatenate([u0, zeros3], -1),
+                        jnp.concatenate([zeros3, u0], -1))
+        return grf, sol.residual, xi_pred, qp_state
+
     # shared-yaw linearization + exact nilpotent ZOH: Ad is step-invariant
     # (Ac does not depend on the arm), only Bd varies over the horizon
     Ac, Bc_t = srbd.linearize_shared(cfg.robot, arms, odom.pos, yaw, dtype)

@@ -61,15 +61,20 @@ def _mm_lane(A, Bv, nx: int):
     return acc
 
 
-def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
-                rho: float, alpha: float, reg: float,
-                # refs (inputs):
-                ad_ref, bd_ref, xref_ref, x0_ref, zw_ref, yw_ref,
-                qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
-                # refs (outputs):
-                z_out, y_out, res_out,
-                # refs (scratch):
-                S, w_ref, qe_ref, f_ref, dg_ref, Yv):
+def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
+              ad, bd_ref, ref_row, x0,
+              zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
+              gmat_ref, gmt_ref, h_ref,
+              z_out, y_out, res_out,
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv,
+              xp_out=None):
+    """Shared kernel core: band condensation -> Cholesky -> warm ADMM.
+
+    ad: [nx, nx, L] VALUE (row-major: ad[x] is row x of Ad).
+    bd_ref: any ref laid out [N*nx, nu, L] (input ref or scratch).
+    ref_row(j): callback returning the reference state row j as
+    [nx, L] (reads an input ref, or synthesizes it in the prep variant).
+    """
     n = N * nu
     m = N * mu_
     L = LANES
@@ -83,11 +88,6 @@ def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     Gmat_c = gmat_ref[:]                                  # [m, n]
     GmatT_c = gmt_ref[:]                                  # [n, m]
     h_c = h_ref[:]                                        # [m, 1]
-
-    ad = ad_ref[:]                                        # [nx, nx, L]
-
-    def ad_row(x):
-        return ad[x]                                      # [nx, L]
 
     # ---- 1a. backward Gramian recursion W_k -> w_ref ----------------
     def w_step(t, W):
@@ -122,7 +122,7 @@ def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     def col_step(k, _):
         Wk = w_ref[pl.ds(nx * k, nx)]                     # [nx, nx, L]
         Bk = bd_ref[pl.ds(nx * k, nx)]                    # [nx, nu, L]
-        t0 = _mm_lane(Wk, Bk, nx)                         # W_k B_k [nx?]
+        t0 = _mm_lane(Wk, Bk, nx)
         # NB _mm_lane(Wk, Bk): sum_x Wk[x,y] Bk[x,u] = (W_k' B_k)[y,u];
         # W is symmetric so this is W_k B_k.
         t = t0
@@ -156,8 +156,6 @@ def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         S[c] = jnp.where(r2n <= c, S[c], mirror)
 
     # ---- 1d. linear term f: forward error sweep + adjoint ------------
-    x = x0_ref[:]                                         # [nx, L]
-
     def x_step(j, x):
         # x_{j+1} = Ad x_j : xn[y,l] = sum_c Ad[y,c,l] x[c,l].
         # ad[x] is ROW x of Ad, so contract over the SECOND index.
@@ -165,10 +163,10 @@ def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         for c in range(1, nx):
             xn = xn + ad[:, c, :] * x[c:c + 1]
         qw = jnp.where(j == N - 1, p_v, q_v)              # [nx, 1]
-        qe_ref[j] = qw * (xn - xref_ref[j + 1])
+        qe_ref[j] = qw * (xn - ref_row(j + 1))
         return xn
 
-    lax.fori_loop(0, N, x_step, x)
+    lax.fori_loop(0, N, x_step, x0)
 
     def s_step(t, s):
         j = N - 1 - t
@@ -269,6 +267,163 @@ def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     z_out[:] = z
     y_out[:] = y
     res_out[:] = r_prim / denom
+
+    if xp_out is not None:
+        # one-step state prediction xi_pred = Ad x0 + Bd_0 u0
+        xn = ad[:, 0, :] * x0[0:1]
+        for c in range(1, nx):
+            xn = xn + ad[:, c, :] * x0[c:c + 1]
+        Bd0 = bd_ref[0:nx]                                # [nx, nu, L]
+        for u in range(nu):
+            xn = xn + Bd0[:, u, :] * z[u:u + 1]
+        xp_out[:] = xn
+
+
+def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
+                rho: float, alpha: float, reg: float,
+                # refs (inputs):
+                ad_ref, bd_ref, xref_ref, x0_ref, zw_ref, yw_ref,
+                qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
+                # refs (outputs):
+                z_out, y_out, res_out,
+                # refs (scratch):
+                S, w_ref, qe_ref, f_ref, dg_ref, Yv):
+    del reg  # folded into the diagonal-block constant
+    _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
+              ad_ref[:], bd_ref, lambda j: xref_ref[j], x0_ref[:],
+              zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
+              gmat_ref, gmt_ref, h_ref,
+              z_out, y_out, res_out,
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv)
+
+
+def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
+                     rho: float, alpha: float,
+                     ts: float, mass: float, height_des: float,
+                     # refs (inputs):
+                     x0_ref, arms_ref, vdes_ref, wdes_ref,
+                     zw_ref, yw_ref,
+                     qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
+                     iinv_ref,
+                     # refs (outputs):
+                     z_out, y_out, res_out, xp_out,
+                     # refs (scratch):
+                     S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s):
+    """Prep-fused variant: the SRBD linearization, exact nilpotent ZOH,
+    and walking reference are synthesized IN-KERNEL from (x0, arms,
+    v_des, yaw_rate) — the XLA-side prep (linearize_shared +
+    discretize_srbd + walking_reference) was 6.7 ms at B=4096, over half
+    the remaining tick (models/srbd.py documents the same closed forms).
+    """
+    L = LANES
+    f32 = jnp.float32
+    x0 = x0_ref[:]                                        # [nx, L]
+    vdes = vdes_ref[:]                                    # [3, L]
+    wdes = wdes_ref[:]                                    # [1, L]
+    I_inv = iinv_ref[:]                                   # [3, 3]
+
+    yaw = x0[2:3]                                         # [1, L]
+    cy = jnp.cos(yaw)
+    sy = jnp.sin(yaw)
+    zero1 = jnp.zeros_like(cy)
+    one1 = jnp.ones_like(cy)
+
+    # ---- Ad = I + Ac ts + Ac^2 ts^2/2 (Ac nilpotent of index 3) -------
+    eye_grid = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (nx, nx, L), 0)
+        == lax.broadcasted_iota(jnp.int32, (nx, nx, L), 1),
+        jnp.ones((nx, nx, L), f32), 0.0)
+    ad_s[:] = eye_grid
+    # rows 0:3, cols 6:9 <- ts * Rz'  (Rz' rows: [c,s,0], [-s,c,0], [0,0,1])
+    ad_s[0, 6:9, :] = ts * jnp.concatenate([cy, sy, zero1], axis=0)
+    ad_s[1, 6:9, :] = ts * jnp.concatenate([-sy, cy, zero1], axis=0)
+    ad_s[2, 8:9, :] = ts * one1
+    # rows 3:6, cols 9:12 <- ts * I
+    ad_s[3, 9:10, :] = ts * one1
+    ad_s[4, 10:11, :] = ts * one1
+    ad_s[5, 11:12, :] = ts * one1
+    # gravity couplings: Ad[11,12] = ts; Ad[5,12] = ts^2/2
+    ad_s[11, 12:13, :] = ts * one1
+    ad_s[5, 12:13, :] = (ts * ts / 2.0) * one1
+    ad = ad_s[:]
+
+    # ---- I_w^{-1} = Rz I^{-1} Rz' (constant body-inertia inverse) -----
+    # M1 = Rz @ I_inv, rows of Rz: [c,-s,0], [s,c,0], [0,0,1].
+    # m1_i[k, l] = sum_j Rz[i, j, l] I_inv[j, k]: the [3,1]-shaped
+    # constant rows broadcast against the [1,L] lane trig vectors.
+    Ii = I_inv[:, :, None]                                # [3,3,1]
+    m1_0 = cy * Ii[0] - sy * Ii[1]                        # [3, L]
+    m1_1 = sy * Ii[0] + cy * Ii[1]
+    m1_2 = jnp.broadcast_to(Ii[2], (3, L))
+    # I_w_inv[i, j] = sum_k M1[i, k] Rz[j, k]
+    def iw_row(m1_i):
+        c0 = cy * m1_i[0:1] - sy * m1_i[1:2]
+        c1 = sy * m1_i[0:1] + cy * m1_i[1:2]
+        c2 = m1_i[2:3]
+        return jnp.concatenate([c0, c1, c2], axis=0)      # [3, L]
+
+    iw0, iw1, iw2 = iw_row(m1_0), iw_row(m1_1), iw_row(m1_2)
+
+    pos = x0[3:6]                                         # [3, L]
+
+    # ---- Bd_k from arms (exact ZOH closed form) -----------------------
+    ts2 = ts * ts / 2.0
+    eye3L = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (3, 3, L), 0)
+        == lax.broadcasted_iota(jnp.int32, (3, 3, L), 1),
+        jnp.ones((3, 3, L), f32), 0.0)
+    rows35 = (ts2 / mass) * eye3L
+    rows912 = (ts / mass) * eye3L
+    row12 = jnp.zeros((1, nu, L), f32)
+
+    def bd_step(k, _):
+        r = arms_ref[k] - pos                             # [3, L]
+        rx, ry, rz = r[0:1], r[1:2], r[2:3]
+        # skew(r) columns: col0 = (0, rz, -ry), col1 = (-rz, 0, rx),
+        # col2 = (ry, -rx, 0); T = I_w_inv @ skew(r):
+        # T[i, j] = iw_i . skew_col_j
+        def t_row(iw):
+            a, b, c = iw[0:1], iw[1:2], iw[2:3]
+            t0 = b * rz - c * ry
+            t1 = -a * rz + c * rx
+            t2 = a * ry - b * rx
+            return jnp.concatenate([t0, t1, t2], axis=0)  # [3, L]
+
+        T0, T1, T2 = t_row(iw0), t_row(iw1), t_row(iw2)
+        T = jnp.stack([T0, T1, T2], axis=0)               # [3, 3, L]
+        # rows 0:3 = ts^2/2 Rz' T  (Rz' rows [c,s,0], [-s,c,0], [0,0,1])
+        rt0 = cy[None] * T0[None] + sy[None] * T1[None]   # [1,3,L]
+        rt1 = -sy[None] * T0[None] + cy[None] * T1[None]
+        rt2 = T2[None]
+        rows03 = ts2 * jnp.concatenate([rt0, rt1, rt2], axis=0)
+        rows69 = ts * T
+        Bd_k = jnp.concatenate(
+            [rows03, rows35, rows69, rows912, row12], axis=0)
+        bd_s[pl.ds(nx * k, nx)] = Bd_k
+        return 0
+
+    lax.fori_loop(0, N, bd_step, 0)
+
+    # ---- walking reference row synthesizer ----------------------------
+    # (models/srbd.py:walking_reference: yaw ramp, v_des-integrated
+    # position with z pinned at height_des, omega = (0,0,yaw_rate),
+    # vel = v_des for rows >= 1 — only rows 1..N are consumed here)
+    def ref_row(jp1):
+        t = jp1.astype(f32) * ts if hasattr(jp1, "astype")             else jnp.float32(jp1) * ts
+        yaw_r = yaw + t * wdes                            # [1, L]
+        xy = x0[3:5] + t * vdes[0:2]                      # [2, L]
+        zrow = jnp.full((1, L), height_des, f32)
+        omega = jnp.concatenate([zero1, zero1, wdes], axis=0)
+        return jnp.concatenate(
+            [x0[0:2], yaw_r, xy, zrow, omega, vdes, x0[12:13]], axis=0)
+
+    _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
+              ad, bd_s, ref_row, x0,
+              zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
+              gmat_ref, gmt_ref, h_ref,
+              z_out, y_out, res_out,
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv,
+              xp_out=xp_out)
 
 
 def _ad_t_vec(ad, s, nx: int):
@@ -402,6 +557,221 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
     y = jnp.transpose(y_t, (1, 0))[:B]
     res = res_t[0, :B]
     return z, y, res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "iters", "rho", "alpha", "reg",
+                              "ts", "mass", "height_des",
+                              "q_diag", "r_diag", "p_diag", "Gu", "h",
+                              "inertia", "interpret"))
+def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
+                          N: int, iters: int, rho: float, alpha: float,
+                          reg: float, ts: float, mass: float,
+                          height_des: float, q_diag, r_diag, p_diag,
+                          Gu, h, inertia, interpret: bool = False):
+    """Prep-fused batched solve: SRBD linearization + ZOH + reference are
+    synthesized inside the kernel.
+
+    arms [B,N,3] (world stance-foot position per horizon step);
+    x0 [B,nx]; v_des [B,3]; yaw_rate [B]; warm state as usual.
+    `inertia` is the 3x3 body inertia as a nested tuple.
+    Returns (z [B,n], y [B,m], residual [B], xi_pred [B,nx]).
+    """
+    B = x0.shape[0]
+    nx = x0.shape[-1]
+    nu = 3
+    mu_ = len(Gu)
+    n = N * nu
+    m = N * mu_
+    f32 = jnp.float32
+
+    B_pad = ((B + LANES - 1) // LANES) * LANES
+    arms = _pad_batch(arms, B_pad)
+    x0 = _pad_batch(x0, B_pad)
+    v_des = _pad_batch(v_des, B_pad)
+    yaw_rate = _pad_batch(yaw_rate, B_pad)
+    z_warm = _pad_batch(z_warm, B_pad)
+    y_warm = _pad_batch(y_warm, B_pad)
+
+    arms_t = jnp.transpose(arms, (1, 2, 0)).astype(f32)        # [N,3,B]
+    x0_t = jnp.transpose(x0, (1, 0)).astype(f32)               # [nx,B]
+    vdes_t = jnp.transpose(v_des, (1, 0)).astype(f32)          # [3,B]
+    wdes_t = yaw_rate[None].astype(f32)                        # [1,B]
+    zw_t = jnp.transpose(z_warm, (1, 0)).astype(f32)
+    yw_t = jnp.transpose(y_warm, (1, 0)).astype(f32)
+
+    q_np = np.asarray(q_diag, np.float32)[:, None]
+    p_np = np.asarray(p_diag, np.float32)[:, None]
+    Gu_np = np.asarray(Gu, np.float32)
+    dblk_np = (2.0 * np.diag(np.asarray(r_diag, np.float32))
+               + float(rho) * (Gu_np.T @ Gu_np)
+               + float(reg) * np.eye(nu, dtype=np.float32))
+    gmat_np = np.kron(np.eye(N, dtype=np.float32), Gu_np)
+    h_np = np.asarray(h, np.float32)[:, None]
+    iinv_np = np.linalg.inv(
+        np.asarray(inertia, np.float64).reshape(3, 3)).astype(np.float32)
+
+    kernel = functools.partial(
+        _mpc_kernel_prep, N, nx, nu, mu_, iters, float(rho), float(alpha),
+        float(ts), float(mass), float(height_des))
+
+    grid = (B_pad // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (*shape, LANES),
+            (lambda i, _nd=nd: (0,) * _nd + (i,)),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, (lambda i, _nd=nd: (0,) * _nd),
+            memory_space=pltpu.VMEM)
+
+    z_t, y_t, res_t, xp_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec((nx,)),           # x0
+            spec((N, 3)),          # arms
+            spec((3,)),            # v_des
+            spec((1,)),            # yaw_rate
+            spec((n,)),            # z_warm
+            spec((m,)),            # y_warm
+            const_spec((nx, 1)),   # q_diag
+            const_spec((nx, 1)),   # p_diag
+            const_spec((nu, nu)),  # diag block
+            const_spec((m, n)),    # Gmat
+            const_spec((n, m)),    # Gmat'
+            const_spec((m, 1)),    # h
+            const_spec((3, 3)),    # I^{-1}
+        ],
+        out_specs=(spec((n,)), spec((m,)), spec((1,)), spec((nx,))),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B_pad), f32),
+            jax.ShapeDtypeStruct((m, B_pad), f32),
+            jax.ShapeDtypeStruct((1, B_pad), f32),
+            jax.ShapeDtypeStruct((nx, B_pad), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), f32),        # S
+            pltpu.VMEM((N * nx, nx, LANES), f32),  # w_ref
+            pltpu.VMEM((N, nx, LANES), f32),       # qe_ref
+            pltpu.VMEM((n, LANES), f32),           # f_ref
+            pltpu.VMEM((n, LANES), f32),           # dg_ref
+            pltpu.VMEM((n, LANES), f32),           # Yv
+            pltpu.VMEM((nx, nx, LANES), f32),      # ad_s
+            pltpu.VMEM((N * nx, nu, LANES), f32),  # bd_s
+        ],
+        interpret=interpret,
+    )(x0_t, arms_t, vdes_t, wdes_t, zw_t, yw_t,
+      jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
+      jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np),
+      jnp.asarray(iinv_np))
+
+    z = jnp.transpose(z_t, (1, 0))[:B]
+    y = jnp.transpose(y_t, (1, 0))[:B]
+    res = res_t[0, :B]
+    xp = jnp.transpose(xp_t, (1, 0))[:B]
+    return z, y, res, xp
+
+
+def make_walking_fused(cfg, use_pallas=None):
+    """Prep-fused warm walking GRF solver from the FULL controller
+    config: fn(arms, x0, v_des, yaw_rate, z_warm, y_warm) ->
+    (QPSolution, xi_pred, (z, y)).
+
+    arms [N,3] per scenario (vmap for batches).  Off-TPU the vmap rule
+    runs the XLA composition (srbd linearize/ZOH/reference + condense +
+    _batched_admm); on TPU the whole pipeline is one Pallas kernel.
+    """
+    from mpc_limx_control_tpu.models import srbd as _srbd
+    from mpc_limx_control_tpu.ops import condense as _cnd
+    from mpc_limx_control_tpu.ops import qp as _qps
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    c = cfg.srbd
+    N = c.horizon
+    mu = float(c.friction_mu)
+    Gu = ((1.0, 0.0, -mu), (-1.0, 0.0, -mu),
+          (0.0, 1.0, -mu), (0.0, -1.0, -mu),
+          (0.0, 0.0, 1.0), (0.0, 0.0, -1.0))
+    hu = (0.0, 0.0, 0.0, 0.0, float(c.fz_max), -float(c.fz_min))
+    h = tuple(hu) * N
+    q_diag = tuple(float(v) for v in c.q_diag)
+    r_diag = tuple(float(v) for v in c.r_diag)
+    p_diag = tuple(float(c.p_scale) * float(v) for v in c.q_diag)
+    iters = int(c.solver.admm_warm_iters)
+    rho = float(c.solver.admm_rho)
+    alpha = float(c.solver.admm_alpha)
+    reg = 1e-6
+    ts = float(c.ts)
+    mass = float(cfg.robot.mass)
+    height_des = float(cfg.ground_height) + float(cfg.base_height)
+    inertia = tuple(float(v) for v in np.asarray(
+        cfg.robot.inertia, np.float64).reshape(-1))
+
+    def _xla_batched(arms, x0, v_des, yaw_rate, z_warm, y_warm):
+        dtype = x0.dtype
+        B = x0.shape[0]
+        Ac, Bc_t = jax.vmap(lambda a, p, yw: _srbd.linearize_shared(
+            cfg.robot, a, p, yw, dtype))(arms, x0[:, 3:6], x0[:, 2])
+        Ad, Bd_t = _srbd.discretize_srbd(Ac, Bc_t, ts)
+        x_ref = jax.vmap(lambda xx, vv, ww: _srbd.walking_reference(
+            xx, c, N, vv, ww, height_des=height_des))(x0, v_des, yaw_rate)
+        Q = jnp.diag(jnp.asarray(q_diag, dtype))
+        R = jnp.diag(jnp.asarray(r_diag, dtype))
+        P = jnp.diag(jnp.asarray(p_diag, dtype))
+        G = jnp.kron(jnp.eye(N, dtype=dtype), jnp.asarray(Gu, dtype))
+        hv = jnp.asarray(h, dtype)
+        qp = jax.vmap(lambda a, b, xr, xx: _cnd.condense(
+            a, b, Q, R, P, N, xx, xr, None, None,
+            extra_G=G, extra_h=hv))(Ad, Bd_t, x_ref, x0)
+        sol, zy = _qps._batched_admm(
+            qp.H, qp.f, jnp.broadcast_to(G, (B, *G.shape)),
+            jnp.broadcast_to(hv, (B, *hv.shape)),
+            z_warm, y_warm, iters, rho, alpha, False)
+        u0 = sol.u[:, :3]
+        xp = (jnp.einsum("bxy,by->bx", Ad, x0)
+              + jnp.einsum("bxu,bu->bx", Bd_t[:, 0], u0))
+        return sol, xp, zy
+
+    @jax.custom_batching.custom_vmap
+    def solve(arms, x0, v_des, yaw_rate, z_warm, y_warm):
+        sol, xp, zy = _xla_batched(
+            arms[None], x0[None], v_des[None], yaw_rate[None],
+            z_warm[None], y_warm[None])
+        return (QPSolution(u=sol.u[0], iterations=sol.iterations,
+                           residual=sol.residual[0]),
+                xp[0], (zy[0][0], zy[1][0]))
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
+                for a, b in zip(args, in_batched)]
+        arms, x0, v_des, yaw_rate, z_warm, y_warm = args
+        if use_pallas:
+            z, y, res, xp = fused_walking_qp_prep(
+                arms, x0, v_des, yaw_rate, z_warm, y_warm,
+                N=N, iters=iters, rho=rho, alpha=alpha, reg=reg,
+                ts=ts, mass=mass, height_des=height_des,
+                q_diag=q_diag, r_diag=r_diag, p_diag=p_diag,
+                Gu=Gu, h=h, inertia=inertia,
+                interpret=use_pallas == "interpret")
+            sol = QPSolution(u=z, iterations=iters, residual=res)
+            zy = (z, y)
+        else:
+            sol, xp, zy = _xla_batched(arms, x0, v_des, yaw_rate,
+                                       z_warm, y_warm)
+        spec = (QPSolution(u=True, iterations=False, residual=True),
+                True, (True, True))
+        return (sol, xp, zy), spec
+
+    return solve
 
 
 def make_admm_fused(cfg_srbd, use_pallas=None, two_feet: bool = False):

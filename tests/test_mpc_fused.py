@@ -136,3 +136,56 @@ def test_fused_condensation_matches_condense_lti_diag():
     scale = float(jnp.max(jnp.abs(sol_ref.u))) + 1.0
     np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
                                atol=2e-3 * scale, rtol=0)
+
+
+def _walking_prep_inputs(B, key):
+    """Inputs for the prep-fused variant: raw (arms, x0, v_des, yaw_rate)."""
+    cfg = ControllerConfig.walking()
+    c = cfg.srbd
+    N = c.horizon
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pos = jnp.asarray([0.0, 0.0, 0.65], jnp.float32) + \
+        0.02 * jax.random.normal(k1, (B, 3), jnp.float32)
+    yaw = 0.1 * jax.random.normal(k2, (B,), jnp.float32)
+    arms = pos[:, None, :] + jnp.asarray([0.02, 0.1, -0.65]) + \
+        0.03 * jax.random.normal(k3, (B, N, 3), jnp.float32)
+    xi0 = jax.vmap(srbd.initial_state)(
+        jnp.concatenate([0.01 * jax.random.normal(k4, (B, 2)),
+                         yaw[:, None]], -1),
+        pos, jnp.zeros((B, 3)),
+        jnp.asarray([0.4, 0.0, 0.0]) + jnp.zeros((B, 3)))
+    v_des = jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.0]), (B, 3))
+    yaw_rate = 0.05 * jax.random.normal(jax.random.PRNGKey(17), (B,))
+    return cfg, arms.astype(jnp.float32), xi0.astype(jnp.float32), \
+        v_des.astype(jnp.float32), yaw_rate.astype(jnp.float32)
+
+
+def test_prep_fused_matches_xla_composition():
+    """The in-kernel SRBD linearization + ZOH + reference synthesis must
+    reproduce the XLA composition (linearize_shared + discretize_srbd +
+    walking_reference + condense + ADMM) end to end."""
+    B = 6
+    cfg, arms, xi0, v_des, yaw_rate = _walking_prep_inputs(
+        B, jax.random.PRNGKey(21))
+    c = cfg.srbd
+    N = c.horizon
+    kz, ky = jax.random.split(jax.random.PRNGKey(9))
+    z_w = 5.0 * jax.random.normal(kz, (B, 3 * N), jnp.float32)
+    y_w = jnp.abs(jax.random.normal(ky, (B, 6 * N), jnp.float32))
+
+    solver_xla = fused.make_walking_fused(cfg, use_pallas=False)
+    sol_ref, xp_ref, zy_ref = jax.vmap(solver_xla)(
+        arms, xi0, v_des, yaw_rate, z_w, y_w)
+
+    solver_k = fused.make_walking_fused(cfg, use_pallas="interpret")
+    with pltpu.force_tpu_interpret_mode():
+        sol_f, xp_f, zy_f = jax.vmap(solver_k)(
+            arms, xi0, v_des, yaw_rate, z_w, y_w)
+
+    scale = float(jnp.max(jnp.abs(sol_ref.u))) + 1.0
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
+                               atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(zy_f[1]), np.asarray(zy_ref[1]),
+                               atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(xp_f), np.asarray(xp_ref),
+                               atol=1e-3 * scale, rtol=0)
