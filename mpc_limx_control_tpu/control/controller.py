@@ -340,23 +340,17 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
                                   ground_height=cfg.ground_height)
     # world -> base frame target
     next_b = jnp.einsum("...ji,...j->...i", R_wb, next_w - odom.pos)
-    geom_swing_l = gl
-    geom_swing_r = gr
-    q_guess_l = joints.q[..., :3]
-    q_guess_r = joints.q[..., 3:]
+    # select-then-compute: ONE IK call on the swing leg's geometry
+    # (selecting results after two IK calls doubled the hot-path cost)
+    g_sw = jax.tree.map(
+        lambda a, b: jnp.where(gait.left_swing, a, b), gl, gr)
+    q_guess = jnp.where(gait.left_swing[..., None],
+                        joints.q[..., :3], joints.q[..., 3:])
     if cfg.ik_method == "analytic":
-        q_sw_l = kin.inverse_kinematics_analytic(geom_swing_l, next_b,
-                                                 q_guess_l)
-        q_sw_r = kin.inverse_kinematics_analytic(geom_swing_r, next_b,
-                                                 q_guess_r)
+        swing_q = kin.inverse_kinematics_analytic(g_sw, next_b, q_guess)
     else:
-        q_sw_l = kin.inverse_kinematics_damped_ls(
-            geom_swing_l, next_b, q_guess_l, iters=cfg.ik_iters,
-            damp=cfg.ik_damp)
-        q_sw_r = kin.inverse_kinematics_damped_ls(
-            geom_swing_r, next_b, q_guess_r, iters=cfg.ik_iters,
-            damp=cfg.ik_damp)
-    swing_q = jnp.where(gait.left_swing[..., None], q_sw_l, q_sw_r)
+        swing_q = kin.inverse_kinematics_damped_ls(
+            g_sw, next_b, q_guess, iters=cfg.ik_iters, damp=cfg.ik_damp)
 
     # ---- stance leg: SRBD GRF MPC + torque map ------------------------
     dtype_sched = dtype
@@ -411,29 +405,39 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
                                          odom.v_pos)
             qp_state = qp_warm
 
-    f_l_w, f_r_w = grf[..., :3], grf[..., 3:]
-    f_l_b = jnp.einsum("...ji,...j->...i", R_wb, f_l_w)
-    f_r_b = jnp.einsum("...ji,...j->...i", R_wb, f_r_w)
-    J_l = kin.contact_jacobian(gl, joints.q[..., :3])
-    J_r = kin.contact_jacobian(gr, joints.q[..., 3:])
-    tau_l = -jnp.einsum("...ji,...j->...i", J_l, f_l_b)
-    tau_r = -jnp.einsum("...ji,...j->...i", J_r, f_r_b)
-
     # ---- pack the command --------------------------------------------
     left_swing = gait.left_swing
     if cfg.mode == "stand":
+        f_l_b = jnp.einsum("...ji,...j->...i", R_wb, grf[..., :3])
+        f_r_b = jnp.einsum("...ji,...j->...i", R_wb, grf[..., 3:])
+        J_l = kin.contact_jacobian(gl, joints.q[..., :3])
+        J_r = kin.contact_jacobian(gr, joints.q[..., 3:])
+        tau_l = -jnp.einsum("...ji,...j->...i", J_l, f_l_b)
+        tau_r = -jnp.einsum("...ji,...j->...i", J_r, f_r_b)
         q_cmd = joints.q
         tau_cmd = jnp.concatenate([tau_l, tau_r], -1)
         kp = jnp.zeros((*q_cmd.shape[:-1], 6), dtype)
         kd = jnp.full_like(kp, cfg.kd)
     else:
+        # select-then-compute: the swing side's torque is zero, so only
+        # the STANCE leg's Jacobian/torque map is evaluated
+        g_st = jax.tree.map(
+            lambda a, b: jnp.where(left_swing, b, a), gl, gr)
+        q_st = jnp.where(left_swing[..., None],
+                         joints.q[..., 3:], joints.q[..., :3])
+        f_st_w = jnp.where(left_swing[..., None],
+                           grf[..., 3:], grf[..., :3])
+        f_st_b = jnp.einsum("...ji,...j->...i", R_wb, f_st_w)
+        J_st = kin.contact_jacobian(g_st, q_st)
+        tau_st = -jnp.einsum("...ji,...j->...i", J_st, f_st_b)
+        zeros3t = jnp.zeros_like(tau_st)
         q_cmd = jnp.where(left_swing[..., None],
                           jnp.concatenate([swing_q, joints.q[..., 3:]], -1),
                           jnp.concatenate([joints.q[..., :3], swing_q], -1))
         tau_cmd = jnp.where(
             left_swing[..., None],
-            jnp.concatenate([jnp.zeros_like(tau_l), tau_r], -1),
-            jnp.concatenate([tau_l, jnp.zeros_like(tau_r)], -1))
+            jnp.concatenate([zeros3t, tau_st], -1),
+            jnp.concatenate([tau_st, zeros3t], -1))
         swing_gain = jnp.where(left_swing[..., None],
                                jnp.asarray([1., 1., 1., 0., 0., 0.], dtype),
                                jnp.asarray([0., 0., 0., 1., 1., 1.], dtype))

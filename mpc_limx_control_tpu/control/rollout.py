@@ -221,16 +221,20 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         foot_l = jnp.where(left_swing[..., None], p_sw_w, state.foot_l)
         foot_r = jnp.where(left_swing[..., None], state.foot_r, p_sw_w)
 
-        q_st_l = kin.inverse_kinematics_analytic(
-            gl, jnp.einsum("...ji,...j->...i", R_new, foot_l - base_new),
-            state.q[..., :3])
-        q_st_r = kin.inverse_kinematics_analytic(
-            gr, jnp.einsum("...ji,...j->...i", R_new, foot_r - base_new),
-            state.q[..., 3:])
+        # select-then-compute: only the STANCE leg needs the pinning IK
+        # (the swing leg's joints come from the command)
+        g_st = jax.tree.map(lambda a, b: jnp.where(left_swing, b, a),
+                            gl, gr)
+        foot_st = jnp.where(left_swing[..., None], foot_r, foot_l)
+        q_prev_st = jnp.where(left_swing[..., None],
+                              state.q[..., 3:], state.q[..., :3])
+        q_st = kin.inverse_kinematics_analytic(
+            g_st, jnp.einsum("...ji,...j->...i", R_new,
+                             foot_st - base_new), q_prev_st)
         q_new = jnp.where(
             left_swing[..., None],
-            jnp.concatenate([q_sw, q_st_r], -1),
-            jnp.concatenate([q_st_l, q_sw], -1))
+            jnp.concatenate([q_sw, q_st], -1),
+            jnp.concatenate([q_st, q_sw], -1))
         if cfg.qp_warm_start and diag.qp_state is not None:
             qp_z, qp_lam = diag.qp_state
         else:
