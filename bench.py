@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache (the fused MPC kernel's first compile under
+# vmap+scan costs minutes; repeat bench runs hit the disk cache)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 TARGET_SOLVES_PER_S = 1000.0     # BASELINE.md north star (v5e chip)
 DT_MPC_BUDGET_S = 0.005          # reference re-solve interval
 

@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the fused MPC kernel's first compile is
+# expensive (minutes under vmap+scan); repeat runs hit the disk cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 from mpc_limx_control_tpu.core.config import ControllerConfig
 from mpc_limx_control_tpu.control import rollout as ro
 from mpc_limx_control_tpu.utils.profiling import MetricsLogger, Timer
@@ -41,11 +45,18 @@ def main():
         0.05 * jax.random.normal(key, (args.batch, 3), jnp.float32)))
 
     roll = jax.jit(lambda s: ro.batched_rollout(cfg, s, args.steps))
+    with Timer() as tc:
+        # host fetch: block_until_ready can return early on the tunneled
+        # TPU backend (NOTES.md pitfall), so force a scalar readback
+        np.asarray(roll(s0)[0].xi[0, 0])              # compile warm-up
+    print(f"(compile: {tc.elapsed:.1f}s)")
     with Timer() as t:
         final, metrics = roll(s0)
-        metrics = jax.tree.map(np.asarray, metrics)
+        np.asarray(final.xi[0, 0])                    # device sync
+    sim_rate = args.batch * args.steps / t.elapsed
     print(f"simulated {args.batch} x {args.steps} ticks in {t.elapsed:.1f}s "
-          f"({args.batch * args.steps / t.elapsed:,.0f} ticks/s)")
+          f"({sim_rate:,.0f} ticks/s)")
+    metrics = jax.tree.map(np.asarray, metrics)
 
     h = metrics["height"]            # [B, T]
     v = metrics["velocity"]          # [B, T, 3]

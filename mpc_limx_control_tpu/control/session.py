@@ -229,6 +229,21 @@ class ControlSession:
                     rate.sleep()
                     continue
                 imu_raw = self.link.recv_imu()
+                if use_kf and imu_raw is None:
+                    # the IMU datagram trails the state packet on the wire
+                    # (pf_runtime.cpp publishes them back-to-back); wait
+                    # briefly for it so the filter never skips a predict
+                    # step — a skipped predict leaves KF time behind plant
+                    # time and the position estimate lags systematically
+                    import time as _time
+                    deadline = rt.now_ns() + 2_000_000        # 2 ms
+                    while imu_raw is None and rt.now_ns() < deadline:
+                        _time.sleep(0.00005)
+                        imu_raw = self.link.recv_imu()
+                    if imu_raw is None:
+                        stats["stale"] += 1
+                        rate.sleep()
+                        continue
                 joints = JointState(
                     q=jnp.asarray(state["q"]),
                     dq=jnp.asarray(state["dq"]),
