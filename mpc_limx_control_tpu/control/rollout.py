@@ -163,11 +163,13 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
                           v_des=v_des)
 
     # ---- SRBD dynamics with the commanded GRF ------------------------
-    yaw = state.xi[..., 2]
+    # exact-ZOH step in explicit vector form (srbd.srbd_step_vector):
+    # identical math to linearize_shared + discretize_srbd + matvec, but
+    # no [13,13]/[13,6] matrices — the matrix build alone was ~3.7 ms of
+    # the ~4.8 ms non-MPC tick cost at B=4096 (tools/profile_rest.py),
+    # and its batched small matmuls ran at bf16 MXU precision on TPU
+    # while the vector form is exact f32 elementwise.
     feet = jnp.stack([state.foot_l, state.foot_r], axis=-2)
-    Ac, Bc2 = srbd.linearize_shared(cfg.robot, feet, truth.pos, yaw, dtype)
-    Bc_l = Bc2[..., 0, :, :]
-    Bc_r = Bc2[..., 1, :, :]
     if cfg.mode == "stand":
         on_l = jnp.ones((), dtype)
         on_r = jnp.ones((), dtype)
@@ -177,9 +179,10 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         left_swing = g.left_swing
         on_l = 1.0 - left_swing.astype(dtype)
         on_r = left_swing.astype(dtype)
-    Bc = jnp.concatenate([Bc_l * on_l, Bc_r * on_r], axis=-1)
-    Ad, Bd = srbd.discretize_srbd(Ac, Bc, cfg.gait.dt)
-    xi_new = Ad @ state.xi + Bd @ diag.grf
+    forces = jnp.stack([diag.grf[..., 0:3] * on_l,
+                        diag.grf[..., 3:6] * on_r], axis=-2)
+    xi_new = srbd.srbd_step_vector(cfg.robot, state.xi, feet, forces,
+                                   cfg.gait.dt)
 
     # ---- foot / joint kinematics -------------------------------------
     base_new = xi_new[..., 3:6]

@@ -163,6 +163,72 @@ def discretize_srbd(Ac: jnp.ndarray, Bc: jnp.ndarray, ts: float):
     return Ad, Bd
 
 
+def srbd_step_vector(robot: RobotParams, xi: jnp.ndarray,
+                     feet: jnp.ndarray, forces: jnp.ndarray, ts: float):
+    """Exact-ZOH SRBD plant step in explicit VECTOR form — identical math
+    to ``discretize_srbd(linearize_shared(...)) @ xi + Bd @ u`` but with no
+    13x13/13x6 matrices ever formed.
+
+    The plant tick of the rollout harness (the x <- Ad x + Bd u of
+    src/QPSolver.cpp:108-111) only needs the next state vector; building
+    the batched Ad/Bd matrices costs ~30 HBM-round-tripping XLA ops per
+    tick at [B,13,13].  With Ac nilpotent of index 3 the exact update is
+    closed-form in 3-vector arithmetic (derivation in discretize_srbd's
+    docstring):
+
+        wd        = I_w^{-1} sum_k (r_k x f_k)      (world inertia)
+        ad        = sum_k f_k / m + g_state e_z
+        theta_new = theta + ts Rz^T w + ts^2/2 Rz^T wd
+        p_new     = p + ts v + ts^2/2 ad
+        w_new     = w + ts wd
+        v_new     = v + ts ad
+
+    xi [..., 13]; feet [..., K, 3] world foot positions; forces [..., K, 3]
+    world GRFs (zero for swing feet).  Returns xi_new [..., 13].
+    """
+    dtype = xi.dtype
+    theta = xi[..., 0:3]
+    p = xi[..., 3:6]
+    w = xi[..., 6:9]
+    v = xi[..., 9:12]
+    g_state = xi[..., 12]
+
+    yaw = theta[..., 2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+
+    def rz_t(u):          # Rz(yaw)^T @ u
+        return jnp.stack([c * u[..., 0] + s * u[..., 1],
+                          -s * u[..., 0] + c * u[..., 1],
+                          u[..., 2]], -1)
+
+    def rz(u):            # Rz(yaw) @ u
+        return jnp.stack([c * u[..., 0] - s * u[..., 1],
+                          s * u[..., 0] + c * u[..., 1],
+                          u[..., 2]], -1)
+
+    r = feet - p[..., None, :]
+    tau_w = jnp.cross(r, forces).sum(-2)
+    f_tot = forces.sum(-2)
+
+    # I_w^{-1} tau = Rz I_body^{-1} Rz^T tau (I_body^{-1} is a trace-time
+    # constant)
+    import numpy as _np
+    I_inv = jnp.asarray(
+        _np.linalg.inv(_np.asarray(robot.inertia,
+                                   _np.float64).reshape(3, 3)), dtype)
+    wd = rz(jnp.einsum("ij,...j->...i", I_inv, rz_t(tau_w)))
+    ad = f_tot / robot.mass + g_state[..., None] * jnp.asarray(
+        [0.0, 0.0, 1.0], dtype)
+
+    half = ts * ts / 2.0
+    theta_new = theta + ts * rz_t(w) + half * rz_t(wd)
+    p_new = p + ts * v + half * ad
+    w_new = w + ts * wd
+    v_new = v + ts * ad
+    return jnp.concatenate(
+        [theta_new, p_new, w_new, v_new, g_state[..., None]], -1)
+
+
 def linearize_reference_literal(robot: RobotParams, foot_pos: jnp.ndarray,
                                 base_pos: jnp.ndarray, dtype=jnp.float32):
     """The exact (buggy) matrices of include/mpcQP.h:139-181, kept for

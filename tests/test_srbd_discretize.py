@@ -59,3 +59,26 @@ def test_discretize_srbd_2d_bc():
     Ad2, Bd2 = srbd.discretize_srbd(Ac, Bc, 0.01)
     np.testing.assert_allclose(np.asarray(Bd1), np.asarray(Bd2[0]),
                                atol=1e-14)
+
+
+def test_srbd_step_vector_matches_matrix_path():
+    """The explicit vector-form plant step (srbd_step_vector) is
+    bit-level-close to Ad @ xi + Bd @ u from the matrix path, batched."""
+    rng = np.random.default_rng(3)
+    B = 64
+    xi = jnp.asarray(rng.normal(0, 0.3, (B, 13)), jnp.float64)
+    xi = xi.at[:, 5].add(0.65).at[:, 12].set(-9.81)
+    feet = jnp.asarray(rng.normal(0, 0.2, (B, 2, 3)), jnp.float64)
+    forces = jnp.asarray(rng.normal(0, 40.0, (B, 2, 3)), jnp.float64)
+    ts = 0.001
+
+    def mat_step(x, ft, f):
+        Ac, Bc2 = srbd.linearize_shared(ROBOT, ft, x[3:6], x[2],
+                                        jnp.float64)
+        Bc = jnp.concatenate([Bc2[0], Bc2[1]], axis=-1)
+        Ad, Bd = srbd.discretize_srbd(Ac, Bc, ts)
+        return Ad @ x + Bd @ f.reshape(6)
+
+    a = jax.vmap(mat_step)(xi, feet, forces)
+    b = srbd.srbd_step_vector(ROBOT, xi, feet, forces, ts)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
