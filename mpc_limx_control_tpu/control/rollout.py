@@ -114,6 +114,31 @@ def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
                      v_pos=xi[..., 9:12], v_ori=xi[..., 6:9])
 
 
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_tick_fn(cfg: ControllerConfig):
+    from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
+    return tf.make_tick_fused(cfg)
+
+
+def _use_fused_tick(cfg: ControllerConfig, state: PlantState) -> bool:
+    """Dispatch the whole tick to the fused Pallas kernel
+    (ops/tick_fused_pallas.py) when the config matches its closed form
+    and we are on real TPU.  MPC_TPU_FUSED_TICK=0 is the kill switch."""
+    if os.environ.get("MPC_TPU_FUSED_TICK", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if state.qp_z is None or state.kf is not None:
+        return False
+    from mpc_limx_control_tpu.ops.tick_fused_pallas import \
+        supports_fused_tick
+    return supports_fused_tick(cfg)
+
+
 def plant_step(cfg: ControllerConfig, state: PlantState,
                iteration: jnp.ndarray, grf_override=None, v_des=None):
     """One 1 kHz simulation tick for ONE scenario (vmap for batches).
@@ -121,7 +146,39 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
     With `grf_override`, the MPC solve is skipped and the given force held
     (the intermediate ticks of the reference's mpcStep = 5 / dtMPC = 5 ms
     re-solve schedule, include/MPCParam.h:46-47).  `v_des` overrides the
-    configured velocity command for this tick (velocity profiles)."""
+    configured velocity command for this tick (velocity profiles).
+
+    On TPU, configs matching the whole-tick fused kernel's closed form
+    (walk / truth odometry / analytic IK / warm admm_fused) run the
+    ENTIRE tick as one Pallas program — see ops/tick_fused_pallas.py."""
+    if grf_override is None and _use_fused_tick(cfg, state):
+        dtype = state.xi.dtype
+        vd = (jnp.asarray(cfg.desired_velocity, dtype) if v_des is None
+              else jnp.asarray(v_des, dtype))
+        wd = jnp.asarray(cfg.desired_yaw_rate, dtype)
+        it = jnp.asarray(iteration, dtype)
+        xi, q, fl, fr, z, y, res, grf, tgt = _fused_tick_fn(cfg)(
+            state.xi, state.q, state.foot_l, state.foot_r,
+            state.qp_z, state.qp_lam, it, vd, wd)
+        new_state = PlantState(xi=xi, q=q, foot_l=fl, foot_r=fr,
+                               qp_z=z, qp_lam=y, kf=None,
+                               prev_v=None, prev_q=None)
+        metrics = {
+            "est_error": jnp.zeros(xi.shape[:-1], dtype),
+            "height": xi[..., 5],
+            "velocity": xi[..., 9:12],
+            "grf": grf,
+            "qp_residual": res,
+            "foot_target": tgt,
+        }
+        return new_state, metrics
+    return _plant_step_ref(cfg, state, iteration,
+                           grf_override=grf_override, v_des=v_des)
+
+
+def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
+                    iteration: jnp.ndarray, grf_override=None, v_des=None):
+    """The reference XLA composition of the tick (the unfused path)."""
     dtype = state.xi.dtype
     iteration = jnp.asarray(iteration, dtype)
     truth = _odom_from_xi(state.xi)

@@ -315,12 +315,31 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
     discretize_srbd + walking_reference) was 6.7 ms at B=4096, over half
     the remaining tick (models/srbd.py documents the same closed forms).
     """
+    _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
+              x0_ref[:], lambda k: arms_ref[k], vdes_ref[:], wdes_ref[:],
+              iinv_ref[:],
+              zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
+              gmat_ref, gmt_ref, h_ref,
+              z_out, y_out, res_out, xp_out,
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s)
+
+
+def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
+              x0, arms_read, vdes, wdes, I_inv,
+              zw_ref, yw_ref,
+              qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
+              z_out, y_out, res_out, xp_out,
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s):
+    """Shared prep+solve core, callable from other kernels (the full-tick
+    kernel of ops/tick_fused_pallas.py re-enters here after synthesizing
+    the moment arms in-kernel).
+
+    x0 [nx, L] / vdes [3, L] / wdes [1, L] / I_inv [3, 3] are VALUES;
+    arms_read(k) -> [3, L] reads horizon-step k's stance-foot position
+    (k may be a traced index).
+    """
     L = LANES
     f32 = jnp.float32
-    x0 = x0_ref[:]                                        # [nx, L]
-    vdes = vdes_ref[:]                                    # [3, L]
-    wdes = wdes_ref[:]                                    # [1, L]
-    I_inv = iinv_ref[:]                                   # [3, 3]
 
     yaw = x0[2:3]                                         # [1, L]
     cy = jnp.cos(yaw)
@@ -377,7 +396,7 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
     row12 = jnp.zeros((1, nu, L), f32)
 
     def bd_step(k, _):
-        r = arms_ref[k] - pos                             # [3, L]
+        r = arms_read(k) - pos                            # [3, L]
         rx, ry, rz = r[0:1], r[1:2], r[2:3]
         # skew(r) columns: col0 = (0, rz, -ry), col1 = (-rz, 0, rx),
         # col2 = (ry, -rx, 0); T = I_w_inv @ skew(r):

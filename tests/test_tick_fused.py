@@ -1,0 +1,132 @@
+"""Whole-tick fused Pallas kernel vs the XLA reference composition.
+
+The kernel (ops/tick_fused_pallas.py) must reproduce the unfused tick
+(control/rollout.py:_plant_step_ref — gait, placement, swing IK,
+contact-scheduled fused MPC, SRBD plant step, foot pinning) on identical
+inputs.  The only allowed deviation is the fused MPC core's
+exact-triangular-solve vs the generic ADMM's explicit f32 K^-1 (bounded
+well under closed-loop tolerance — tests/test_mpc_fused.py).
+
+Runs in interpreter mode on CPU; the real-TPU validation is the bench
+quality gate.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_limx_control_tpu.core.config import ControllerConfig
+from mpc_limx_control_tpu.control import rollout as ro
+from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
+
+
+def _states(B, key, cfg):
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    k1, k2, k3 = jax.random.split(key, 3)
+    xi = s0.xi.at[:, 9].add(0.08 * jax.random.normal(k1, (B,), jnp.float32))
+    xi = xi.at[:, 10].add(0.05 * jax.random.normal(k2, (B,), jnp.float32))
+    xi = xi.at[:, 2].add(0.1 * jax.random.normal(k3, (B,), jnp.float32))
+    return s0.replace(xi=xi)
+
+
+def _run_ref(cfg, s, its, v_des):
+    def one(s1, it1):
+        st, m = ro._plant_step_ref(cfg, s1, it1, v_des=v_des)
+        return st, m
+    return jax.vmap(one)(s, its)
+
+
+def _run_fused(cfg, s, its, v_des):
+    step = tf.make_tick_fused(cfg, use_pallas="interpret")
+    dtype = s.xi.dtype
+    vd = jnp.broadcast_to(jnp.asarray(v_des, dtype), (s.xi.shape[0], 3))
+    wd = jnp.zeros((s.xi.shape[0],), dtype) + cfg.desired_yaw_rate
+    outs = jax.vmap(step)(s.xi, s.q, s.foot_l, s.foot_r,
+                          s.qp_z, s.qp_lam, its, vd, wd)
+    xi, q, fl, fr, z, y, res, grf, tgt = outs
+    st = s.replace(xi=xi, q=q, foot_l=fl, foot_r=fr, qp_z=z, qp_lam=y)
+    return st, {"grf": grf, "qp_residual": res, "foot_target": tgt}
+
+
+def test_tick_fused_matches_composition_one_step():
+    cfg = ControllerConfig.walking()
+    B = 6
+    s = _states(B, jax.random.PRNGKey(0), cfg)
+    # stagger phases across the batch: both swing sides + near-switch
+    its = jnp.asarray([0.0, 40.0, 180.0, 299.0, 300.0, 455.0], jnp.float32)
+    v_des = (0.5, 0.0, 0.0)
+
+    st_r, m_r = _run_ref(cfg, s, its, v_des)
+    st_f, m_f = _run_fused(cfg, s, its, v_des)
+
+    np.testing.assert_allclose(np.asarray(st_f.xi), np.asarray(st_r.xi),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_f.foot_l),
+                               np.asarray(st_r.foot_l), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_f.foot_r),
+                               np.asarray(st_r.foot_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_f["foot_target"]),
+                               np.asarray(m_r["foot_target"]), atol=1e-5)
+    # GRF on a ~100 N scale; the fused MPC core deviates from the generic
+    # ADMM only via exact-vs-explicit-inverse solves
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]),
+                               atol=5e-2)
+    # warm-start trajectory: the near horizon (what feeds the next tick's
+    # first controls) must agree tightly; the far tail may deviate by the
+    # documented exact-solve vs explicit-f32-K^-1 gap (NOTES.md: the XLA
+    # path's K^-1 error alone is ~1 N on a 108 N scale)
+    np.testing.assert_allclose(np.asarray(st_f.qp_z)[:, :9],
+                               np.asarray(st_r.qp_z)[:, :9], atol=5e-2)
+    np.testing.assert_allclose(np.asarray(st_f.qp_z),
+                               np.asarray(st_r.qp_z), atol=5.0)
+
+
+def test_tick_fused_multi_step_warm_threading():
+    """Warm state (z, y) must thread tick-to-tick identically: run 5
+    consecutive ticks and compare the final state."""
+    cfg = ControllerConfig.walking()
+    B = 3
+    s_r = _states(B, jax.random.PRNGKey(1), cfg)
+    s_f = s_r
+    its0 = jnp.asarray([10.0, 200.0, 310.0], jnp.float32)
+    v_des = (0.5, 0.0, 0.0)
+    for j in range(5):
+        its = its0 + float(j)
+        s_r, m_r = _run_ref(cfg, s_r, its, v_des)
+        s_f, m_f = _run_fused(cfg, s_f, its, v_des)
+
+    np.testing.assert_allclose(np.asarray(s_f.xi), np.asarray(s_r.xi),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.q), np.asarray(s_r.q),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]), atol=2e-1)
+
+
+def test_supports_fused_tick_predicate():
+    cfg = ControllerConfig.walking()
+    assert tf.supports_fused_tick(cfg)
+    assert not tf.supports_fused_tick(
+        dataclasses.replace(cfg, mode="stand"))
+    assert not tf.supports_fused_tick(
+        dataclasses.replace(cfg, estimator_mode="kf"))
+    assert not tf.supports_fused_tick(
+        dataclasses.replace(cfg, ik_method="damped_ls"))
+    assert not tf.supports_fused_tick(
+        dataclasses.replace(cfg, qp_warm_start=False))
+
+
+def test_plant_step_dispatcher_off_tpu_unchanged():
+    """On CPU the dispatcher must stay on the reference composition."""
+    cfg = ControllerConfig.walking()
+    s = _states(2, jax.random.PRNGKey(2), cfg)
+    assert not ro._use_fused_tick(cfg, s)  # cpu backend in tests
+    st, m = jax.vmap(lambda s1, it1: ro.plant_step(cfg, s1, it1))(
+        s, jnp.asarray([0.0, 100.0], jnp.float32))
+    assert np.isfinite(np.asarray(st.xi)).all()
