@@ -142,16 +142,69 @@ class ControlSession:
                  cmd_port: int = 17102):
         self.cfg = cfg or ControllerConfig.walking()
         self.link = rt.RobotLink(host_ip, state_port, cmd_port)
+        # Every tick fetches exactly ONE small packed array
+        # [q dq tau kp kd] (30 f32) from the device; QP warm state and the
+        # held GRF live on-device between ticks.  Per-tick host latency is
+        # dispatch + one tiny transfer — on the tunneled dev chip that is
+        # still the tunnel RTT, but on deployment hardware (local PCIe /
+        # CPU host) it is sub-millisecond.
+        def _packed(cmd):
+            return jnp.concatenate(
+                [cmd.q, cmd.dq, cmd.tau, cmd.kp, cmd.kd], -1)
+
         self._tick = jax.jit(
-            lambda odom, joints, it: ctrl.tick(self.cfg, odom, joints, it))
-        self._est_tick = jax.jit(
-            lambda kf, joints, imu, contact: est.estimator_tick(
-                self.cfg, kf, joints, imu, contact, self.cfg.gait.dt))
+            lambda odom, joints, it: _packed(
+                ctrl.tick(self.cfg, odom, joints, it)[0]))
+        # Production-path ticks (the benched sim path, live): the GRF QP is
+        # warm-started tick-to-tick — on TPU with method "admm_fused" the
+        # warm tick routes through the fused condensation+ADMM Pallas
+        # kernel (ops/mpc_fused_pallas.py) — and held between re-solves per
+        # the reference's dtMPC schedule (include/MPCParam.h:46-47).
+
+        def _warm_impl(odom, joints, it, z, lam):
+            cmd, diag = ctrl.tick(self.cfg, odom, joints, it,
+                                  qp_warm=(z, lam))
+            return (_packed(cmd), diag.qp_state[0], diag.qp_state[1],
+                    diag.grf)
+
+        self._tick_warm = jax.jit(_warm_impl)
+        self._tick_hold = jax.jit(
+            lambda odom, joints, it, grf: _packed(ctrl.tick(
+                self.cfg, odom, joints, it, grf_override=grf)[0]))
+        self.qp_state = self._initial_qp_state()
+        self._held_grf = None
+        def _est_impl(kf, joints, imu, contact):
+            out = est.estimator_tick(self.cfg, kf, joints, imu, contact,
+                                     self.cfg.gait.dt)
+            # packed wire odometry [pos quat v_pos v_ori cov_diag(12)]
+            # so publication costs ONE device->host transfer
+            pub = jnp.concatenate([
+                out.odom.pos, out.odom.quat, out.odom.v_pos,
+                out.odom.v_ori,
+                jnp.diagonal(out.kf.p_cov, axis1=-2, axis2=-1)], -1)
+            return out, pub
+
+        self._est_tick = jax.jit(_est_impl)
         self.kf = KFState.initial(
             (), self.cfg.estimator.initial_covariance, jnp.float32)
         # calibration-diagnostic abort gate: set False the moment a
         # calibration diagnostic with nonzero code arrives on the wire
         self.calibrated = True
+
+    def _initial_qp_state(self):
+        """Cold warm-start state, matching rollout.initial_plant_state:
+        z = 0 controls; ADMM threads the scaled dual y (zeros), PDIP
+        threads strictly-positive multipliers (ones)."""
+        if not self.cfg.qp_warm_start:
+            return None
+        c = self.cfg.srbd
+        nu = 3 if self.cfg.mode == "walk" else 6
+        z = jnp.zeros((nu * c.horizon,), jnp.float32)
+        if c.solver.method in ("admm", "admm_fused", "riccati"):
+            lam = jnp.zeros((2 * nu * c.horizon,), jnp.float32)
+        else:
+            lam = jnp.ones((2 * nu * c.horizon,), jnp.float32)
+        return (z, lam)
 
     def close(self):
         self.link.close()
@@ -202,8 +255,18 @@ class ControlSession:
 
     # -- run: the 1 kHz MPC loop (src/mpc_control_fake_state.cpp:108-149)
     def run(self, iterations: int, hz: float = 1000.0,
-            use_kf: bool = False, est_odom_every: int = 5) -> dict:
+            use_kf: bool = False, est_odom_every: int = 5,
+            mpc_every: Optional[int] = None) -> dict:
         """Run `iterations` control ticks; returns loop statistics.
+
+        The live loop IS the production path: with cfg.qp_warm_start (the
+        default walking/standing configs) the GRF QP threads its warm
+        state (z, y) tick-to-tick and the solve runs through the fused
+        Pallas kernel on TPU; `mpc_every` (default cfg.gait.mpc_step = 5,
+        the reference's dtMPC schedule, include/MPCParam.h:46-47)
+        re-solves the MPC every mpc_every ticks and holds the GRF in
+        between while gait/swing tracking runs at the full rate.
+        `mpc_every=1` re-solves every tick.
 
         With `use_kf`, contact flags for the filter's noise gating come
         from the gait clock (swing-foot measurements are inflated x100,
@@ -211,13 +274,26 @@ class ControlSession:
         which on a walking robot would let the swing foot corrupt the
         estimate.  The KF odometry + covariance diagonal is published back
         over the wire every `est_odom_every` ticks (the reference's 200 Hz
-        odom/pose stream, include/stateEstimator.h:404-419)."""
+        odom/pose stream, include/stateEstimator.h:404-419).
+
+        Returned stats include per-tick host latency (seconds) measured
+        from state receipt to command send: `tick_latency_p50/p95/max`
+        overall plus `solve_latency_p50`/`hold_latency_p50` split by
+        dtMPC role, and budget counters vs the 1 kHz control period and
+        the 5 ms dtMPC budget."""
+        import time as _time
         from mpc_limx_control_tpu.control import gait as gaitmod
+        if mpc_every is None:
+            mpc_every = self.cfg.gait.mpc_step
+        warm = self.cfg.qp_warm_start and self.qp_state is not None
         stats = {"sent": 0, "stale": 0, "missed_deadlines": 0,
-                 "est_odom_published": 0}
+                 "est_odom_published": 0, "mpc_solves": 0, "mpc_holds": 0}
+        lat_solve: list = []
+        lat_hold: list = []
         it = 0
         with rt.Rate(hz) as rate:
             while it < iterations:
+                t_tick0 = _time.perf_counter()
                 self._poll_diagnostics()
                 if not self.calibrated:
                     self.damping()
@@ -261,18 +337,16 @@ class ControlSession:
                             jnp.asarray(float(it), jnp.float32))
                         ls = bool(g_clk.left_swing)
                         contact = jnp.asarray([not ls, ls])
-                    out = self._est_tick(self.kf, joints, imu, contact)
+                    out, est_pub = self._est_tick(self.kf, joints, imu,
+                                                  contact)
                     self.kf = out.kf
                     odom = out.odom
                     if est_odom_every and it % est_odom_every == 0:
-                        cov = np.asarray(
-                            jnp.diagonal(self.kf.p_cov, axis1=-2, axis2=-1))
+                        e = np.asarray(est_pub)
                         self.link.send_est_odom(
-                            pos=np.asarray(odom.pos),
-                            quat=np.asarray(odom.quat),
-                            v_pos=np.asarray(odom.v_pos),
-                            v_ori=np.asarray(odom.v_ori),
-                            cov_diag=cov, stamp_ns=rt.now_ns())
+                            pos=e[0:3], quat=e[3:7], v_pos=e[7:10],
+                            v_ori=e[10:13], cov_diag=e[13:25],
+                            stamp_ns=rt.now_ns())
                         stats["est_odom_published"] += 1
                 elif odom_raw is not None:
                     # fake-estimator path: ground-truth odometry over the
@@ -291,15 +365,49 @@ class ControlSession:
                     odom = self._last_odom
                 else:
                     # no truth source yet — nominal standing pose
+                    # (dtype-pinned: a weak f64 here poisons the f32 warm
+                    # ADMM carry when x64 is enabled)
                     odom = OdomState.zeros(()).replace(
-                        pos=jnp.asarray([0.0, 0.0, self.cfg.base_height]))
-                cmd, diag = self._tick(odom, joints,
-                                       jnp.asarray(float(it), jnp.float32))
+                        pos=jnp.asarray([0.0, 0.0, self.cfg.base_height],
+                                        jnp.float32))
+                it_arr = jnp.asarray(float(it), jnp.float32)
+                solve_now = (not warm) or (it % mpc_every == 0) \
+                    or (self._held_grf is None)
+                if warm and solve_now:
+                    packed, z, lam, grf = self._tick_warm(
+                        odom, joints, it_arr,
+                        self.qp_state[0], self.qp_state[1])
+                    self.qp_state = (z, lam)
+                    self._held_grf = grf
+                elif warm:
+                    packed = self._tick_hold(odom, joints, it_arr,
+                                             self._held_grf)
+                else:
+                    packed = self._tick(odom, joints, it_arr)
+                p = np.asarray(packed)      # ONE device->host transfer
                 self.link.send_cmd(
-                    q=np.asarray(cmd.q), dq=np.asarray(cmd.dq),
-                    tau=np.asarray(cmd.tau), kp=np.asarray(cmd.kp),
-                    kd=np.asarray(cmd.kd), mode=np.asarray(cmd.mode))
+                    q=p[0:6], dq=p[6:12], tau=p[12:18], kp=p[18:24],
+                    kd=p[24:30])
+                (lat_solve if solve_now else lat_hold).append(
+                    _time.perf_counter() - t_tick0)
+                stats["mpc_solves" if solve_now else "mpc_holds"] += 1
                 stats["sent"] += 1
                 it += 1
                 stats["missed_deadlines"] += rate.sleep()
+        lat_all = sorted(lat_solve + lat_hold)
+        if lat_all:
+            def pct(xs, p):
+                return float(xs[min(len(xs) - 1, int(p * len(xs)))])
+            stats["tick_latency_p50"] = pct(lat_all, 0.50)
+            stats["tick_latency_p95"] = pct(lat_all, 0.95)
+            stats["tick_latency_max"] = float(lat_all[-1])
+            stats["ticks_over_1ms"] = int(
+                sum(1 for x in lat_all if x > 1.0 / hz))
+            if lat_solve:
+                ls = sorted(lat_solve)
+                stats["solve_latency_p50"] = pct(ls, 0.50)
+                stats["solves_over_5ms"] = int(
+                    sum(1 for x in ls if x > 0.005))
+            if lat_hold:
+                stats["hold_latency_p50"] = pct(sorted(lat_hold), 0.50)
         return stats

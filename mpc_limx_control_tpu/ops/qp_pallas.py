@@ -202,7 +202,7 @@ def pdip_fused(H, f, G, h, z0, s0, lam0, iters: int = 6):
         return pl.BlockSpec((r, c, LANES), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     zb, merit, zf, lamf = pl.pallas_call(
         kernel,
         grid=grid,

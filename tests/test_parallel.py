@@ -40,7 +40,7 @@ def test_sharded_step_matches_single_device(cfg):
     # perturb scenarios so they differ
     key = jax.random.PRNGKey(0)
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
-        0.05 * jax.random.normal(key, (B,))))
+        0.05 * jax.random.normal(key, (B,), jnp.float32)))
 
     step = pmesh.sharded_batch_step(cfg, mesh)
     s_sharded = pmesh.shard_leading(s0, mesh)
@@ -87,7 +87,7 @@ def test_sharded_rollout_matches_single_device(cfg):
     s0 = ro.initial_plant_state(cfg, batch=(B,))
     key = jax.random.PRNGKey(2)
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
-        0.05 * jax.random.normal(key, (B,))))
+        0.05 * jax.random.normal(key, (B,), jnp.float32)))
 
     run = pmesh.sharded_rollout(cfg, mesh, steps)
     final_sh, stats = run(pmesh.shard_leading(s0, mesh), jnp.asarray(0.0))

@@ -82,7 +82,7 @@ def test_batched_walking_scenarios():
     s0 = ro.initial_plant_state(cfg, batch=(B,))
     key = jax.random.PRNGKey(1)
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
-        0.1 * jax.random.normal(key, (B,))))
+        0.1 * jax.random.normal(key, (B,), jnp.float32)))
     # stagger gait phase by up to 100 ms across scenarios
     it0 = jnp.asarray([0.0, 30.0, 60.0, 90.0], jnp.float32)
     final, m = jax.jit(
