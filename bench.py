@@ -36,14 +36,20 @@ DT_MPC_BUDGET_S = 0.005          # reference re-solve interval
 
 
 def quality_gate(skip_kf: bool = False) -> dict:
-    """Closed-loop walking quality on the current backend.
+    """Closed-loop quality on the current backend (the on-chip gate for
+    the silent bf16/warm-start regression classes — see NOTES.md).
 
-    Truth-estimator path: B=64 perturbed scenarios, 1500 ticks (2.5 gait
-    cycles); healthy = mean height within 0.02 m of the commanded 0.65,
-    mean vx within 0.15 m/s of the commanded 0.5, no NaN.
-    KF path: single scenario, 1200 ticks; healthy = height floor > 0.55
-    and no NaN (the filter's small steady-state bias is expected — the
-    CPU suite pins the same envelope, tests/test_kf_in_loop.py)."""
+    Scenarios and pass bands:
+    * walking (B=64 perturbed, 3000 ticks): mean height within 0.02 m of
+      the commanded 0.65, mean vx over the final full gait cycle within
+      0.05 m/s of the commanded 0.5 (the anchor integral action holds
+      0.500; the band was +/-0.15 before round 3), no NaN;
+    * turning (yaw_rate = 0.3, 1500 ticks): height floor, yaw progress;
+    * push recovery (0.3 m/s lateral shove at tick 600): height floor,
+      velocity recovery within 0.9 s;
+    * terrain (ground_height = 0.15): height tracks ground + 0.65;
+    * KF-in-loop (1200 ticks): height floor > 0.55, finite covariance.
+    """
     import dataclasses
     from mpc_limx_control_tpu.core.config import ControllerConfig
     from mpc_limx_control_tpu.control import rollout as ro
@@ -55,19 +61,56 @@ def quality_gate(skip_kf: bool = False) -> dict:
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
         0.05 * jax.random.normal(key, (B,), jnp.float32)))
     final, m = jax.jit(
-        lambda s: ro.batched_rollout(cfg, s, 1500))(s0)
+        lambda s: ro.batched_rollout(cfg, s, 3000))(s0)
     h = np.asarray(m["height"])            # [B, T]
     vx = np.asarray(m["velocity"])[..., 0]
-    height_mean = float(h[:, -400:].mean())
-    vx_mean = float(vx[:, -400:].mean())
+    height_mean = float(h[:, -600:].mean())
+    vx_mean = float(vx[:, -600:].mean())
     nan_free = not (np.isnan(h).any() or np.isnan(vx).any())
     q = {
         "walk_height_mean": round(height_mean, 4),
         "walk_vx_mean": round(vx_mean, 4),
         "walk_nan_free": nan_free,
         "walk_ok": bool(nan_free and abs(height_mean - 0.65) < 0.02
-                        and abs(vx_mean - 0.5) < 0.15),
+                        and abs(vx_mean - 0.5) < 0.05),
     }
+
+    # -- turning (tests/test_robustness.py:test_turning_walk, on chip)
+    tcfg = dataclasses.replace(cfg, desired_yaw_rate=0.3)
+    t0 = ro.initial_plant_state(tcfg)
+    tf_, tm = jax.jit(lambda s: ro.rollout(tcfg, s, 1500))(t0)
+    th = np.asarray(tm["height"])
+    tyaw = float(np.asarray(tf_.xi)[2])
+    q["turn_height_min"] = round(float(th.min()), 4)
+    q["turn_yaw"] = round(tyaw, 4)
+    q["turn_ok"] = bool(th.min() > 0.5 and 0.15 < tyaw < 0.6
+                        and not np.isnan(th).any())
+
+    # -- push recovery (lateral shove, tests/test_robustness.py)
+    p0 = ro.initial_plant_state(cfg)
+    p1, pm1 = jax.jit(lambda s: ro.rollout(cfg, s, 600))(p0)
+    pushed = p1.replace(
+        xi=p1.xi.at[9:12].add(jnp.asarray([0.0, 0.3, 0.0], jnp.float32)))
+    p2, pm2 = jax.jit(
+        lambda s: ro.rollout(cfg, s, 900, start_iteration=600))(pushed)
+    ph = np.concatenate([np.asarray(pm1["height"]),
+                         np.asarray(pm2["height"])])
+    pv = np.asarray(pm2["velocity"])
+    q["push_height_min"] = round(float(ph.min()), 4)
+    q["push_ok"] = bool(ph.min() > 0.5
+                        and abs(pv[-300:, 0].mean() - 0.5) < 0.2
+                        and abs(pv[-300:, 1].mean()) < 0.2
+                        and not np.isnan(ph).any())
+
+    # -- terrain (raised ground plane, tests/test_terrain.py)
+    gcfg = dataclasses.replace(cfg, ground_height=0.15)
+    g0 = ro.initial_plant_state(gcfg)
+    gf, gm = jax.jit(lambda s: ro.rollout(gcfg, s, 900))(g0)
+    gh = np.asarray(gm["height"])
+    q["terrain_height_mean"] = round(float(gh[-300:].mean()), 4)
+    q["terrain_ok"] = bool(abs(gh[-300:].mean() - 0.80) < 0.02
+                           and not np.isnan(gh).any())
+
     if not skip_kf:
         kcfg = dataclasses.replace(cfg, estimator_mode="kf")
         k0 = ro.initial_plant_state(kcfg)
@@ -79,7 +122,8 @@ def quality_gate(skip_kf: bool = False) -> dict:
         q["kf_cov_pos_final"] = round(float(cov[-1].mean()), 6)
         q["kf_ok"] = bool(q["kf_nan_free"] and kh.min() > 0.55
                           and np.isfinite(cov).all())
-    q["ok"] = bool(q["walk_ok"] and q.get("kf_ok", True))
+    q["ok"] = bool(q["walk_ok"] and q["turn_ok"] and q["push_ok"]
+                   and q["terrain_ok"] and q.get("kf_ok", True))
     return q
 
 
@@ -137,6 +181,48 @@ def main():
         lats.append((time.perf_counter() - t0) / K)
     p50 = float(np.median(lats))
 
+    # Standing-balance (BASELINE config 2) and KF-in-loop (config 3)
+    # batched throughput — the configs outside the whole-tick kernel's
+    # closed form; standing routes its two-foot GRF solve through the
+    # fused MPC kernel (make_admm_fused two_feet), the KF loop runs the
+    # unfused composition.
+    import dataclasses as _dc
+
+    def _cfg_throughput(cfg2, iters2=5, b2=None):
+        b2 = b2 or batch
+        st0 = ro.initial_plant_state(cfg2, batch=(b2,))
+        stp = jax.jit(lambda s, it: jax.vmap(
+            lambda x: ro.plant_step(cfg2, x, it))(s))
+        s_, _ = stp(st0, jnp.asarray(0.0, jnp.float32))
+        np.asarray(s_.xi)
+        t0 = time.perf_counter()
+        s_ = st0
+        for k in range(iters2):
+            s_, _ = stp(s_, jnp.asarray(float(k), jnp.float32))
+        np.asarray(s_.xi)
+        return b2 * iters2 / (time.perf_counter() - t0)
+
+    from mpc_limx_control_tpu.core.config import ControllerConfig as _CC
+    stand_tput = _cfg_throughput(_CC.standing())
+    kf_tput = _cfg_throughput(_dc.replace(cfg, estimator_mode="kf"))
+
+    # Per-dispatch real-time latency: one host-dispatched single-scenario
+    # tick per loop iteration — the deployment shape of a live 1 kHz
+    # session (ControlSession.run), unlike the device-resident scan
+    # above.  On the tunneled dev chip this measures the tunnel RTT
+    # (NOTES.md); on deployment hardware it is the dispatch overhead.
+    sd = ro.initial_plant_state(cfg)
+    one = jax.jit(lambda s, it: ro.plant_step(cfg, s, it))
+    st1, _ = one(sd, jnp.asarray(0.0, jnp.float32))
+    np.asarray(st1.xi)                       # compile + settle
+    dls = []
+    for k in range(50):
+        t0 = time.perf_counter()
+        st1, _ = one(st1, jnp.asarray(float(k + 1), jnp.float32))
+        np.asarray(st1.xi[0])                # scalar host fetch
+        dls.append(time.perf_counter() - t0)
+    dispatch_p50 = float(np.median(dls))
+
     quality = quality_gate(
         skip_kf=os.environ.get("BENCH_SKIP_KF", "") == "1")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -153,6 +239,10 @@ def main():
         "batched_step_latency_ms": round(step_latency * 1e3, 3),
         "p50_single_solve_latency_ms": round(p50 * 1e3, 3),
         "p50_within_5ms_budget": p50 <= DT_MPC_BUDGET_S,
+        "dispatch_tick_latency_ms_p50": round(dispatch_p50 * 1e3, 3),
+        "dispatch_within_5ms_budget": dispatch_p50 <= DT_MPC_BUDGET_S,
+        "stand_solves_per_s": round(stand_tput, 1),
+        "kf_solves_per_s": round(kf_tput, 1),
         "quality": quality,
         "device": str(dev),
     }))

@@ -46,6 +46,7 @@ class TickDiagnostics(NamedTuple):
     swing_q: jnp.ndarray       # [..., 3]
     predicted_xi: jnp.ndarray  # [..., 13] one-step-ahead SRBD state
     qp_state: tuple            # (z, lambda) for warm-starting the next tick
+    ref_anchor: jnp.ndarray | None = None  # [..., 2] next-tick ref anchor
 
 
 def _cone_single(cfg: ControllerConfig, dtype):
@@ -169,7 +170,8 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
                               arm_l: jnp.ndarray, arm_r: jnp.ndarray,
                               left_stance: jnp.ndarray, v_des: jnp.ndarray,
                               yaw_rate_des: jnp.ndarray,
-                              qp_warm=None):
+                              qp_warm=None,
+                              pos_anchor: jnp.ndarray | None = None):
     """Walking-gait GRF MPC: exactly ONE stance foot per horizon step, so
     the decision variable is the 3-vector GRF of *the scheduled foot* at
     each step (nz = 3N) instead of a 6-vector with half its columns gated
@@ -189,6 +191,11 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     on_l = left_stance.astype(dtype)
     arms = jnp.where(on_l[:, None] > 0.5, arm_l[None], arm_r[None])  # [N,3]
 
+    # reference-anchor xy: the persistent tracking anchor (clipped by the
+    # caller) or the current position (receding, include/mpcQP.h:83-85)
+    anchor_xy = odom.pos[..., :2] if pos_anchor is None \
+        else pos_anchor[..., :2]
+
     if c.solver.method == "admm_fused" and qp_warm is not None:
         # prep-fused path: the SRBD linearization, exact nilpotent ZOH,
         # walking reference, band condensation, Cholesky, and all warm
@@ -198,7 +205,8 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
         from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
         solver = fqp.make_walking_fused(cfg)
         sol, xi_pred, qp_state = solver(arms, xi0, v_des, yaw_rate_des,
-                                        qp_warm[0], qp_warm[1])
+                                        qp_warm[0], qp_warm[1],
+                                        anchor_xy)
         u0 = sol.u[:3]
         left_now = on_l[0] > 0.5
         zeros3 = jnp.zeros_like(u0)
@@ -216,8 +224,11 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     R = jnp.diag(jnp.asarray(c.r_diag, dtype))
     P = c.p_scale * Q
 
+    anchor3 = jnp.concatenate(
+        [anchor_xy, jnp.zeros_like(anchor_xy[..., :1])], -1)
     x_ref = srbd.walking_reference(xi0, c, N, v_des, yaw_rate_des,
-                                   height_des=cfg.ground_height + cfg.base_height)
+                                   height_des=cfg.ground_height + cfg.base_height,
+                                   pos_anchor=anchor3)
 
     Gu = _cone_single(cfg, dtype)                        # [6, 3]
     G = jnp.kron(jnp.eye(N, dtype=dtype), Gu)            # [6N, 3N]
@@ -294,7 +305,8 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
          iteration: jnp.ndarray, grf_override: jnp.ndarray | None = None,
          qp_warm=None, v_des: jnp.ndarray | None = None,
-         yaw_rate_des: jnp.ndarray | None = None):
+         yaw_rate_des: jnp.ndarray | None = None,
+         ref_anchor: jnp.ndarray | None = None):
     """One 1 kHz control tick for ONE scenario (vmap for batches).
 
     Returns (RobotCmd, TickDiagnostics).  Mirrors MPC::run
@@ -324,6 +336,30 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
     gait = gaitmod.gait_clock(cfg.gait, iteration)
     target_w = gaitmod.foot_placement(cfg, gait, odom.pos, v_des,
                                       v_actual=odom.v_pos)
+
+    # ---- reference anchor (position tracking with anti-windup) --------
+    # clip the persistent anchor into a band around the current position,
+    # use the clipped value for this tick's MPC reference, and advance it
+    # by v_des dt for the next tick.  band = 0 (or no anchor threaded)
+    # degenerates exactly to the receding reference.
+    band = cfg.ref_anchor_band
+    if ref_anchor is not None and band > 0.0:
+        anchor_used = jnp.clip(ref_anchor,
+                               odom.pos[..., :2] - band,
+                               odom.pos[..., :2] + band)
+        anchor_next = anchor_used + v_des[..., :2] * cfg.gait.dt
+        if cfg.anchor_placement_gain > 0.0:
+            # integral action on the velocity error through the foot
+            # placement: ran ahead of the anchor -> step further forward
+            # -> brake (and vice versa); zero steady-state velocity error
+            # inside the band
+            target_w = target_w.at[..., :2].add(
+                cfg.anchor_placement_gain
+                * (odom.pos[..., :2] - anchor_used))
+    else:
+        anchor_used = None
+        anchor_next = (odom.pos[..., :2] + v_des[..., :2] * cfg.gait.dt
+                       if ref_anchor is not None else None)
 
     # World-frame foot positions from FK + base pose
     R_wb = rot.quat_to_rot(odom.quat)
@@ -389,7 +425,7 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
         if grf_override is None:
             grf, residual, xi_pred, qp_state = stance_mpc_single_support(
                 cfg, odom, arm_l, arm_r, on_l, v_des, yaw_rate_des,
-                qp_warm=qp_warm)
+                qp_warm=qp_warm, pos_anchor=anchor_used)
         else:
             # held-force tick of the dtMPC schedule: when the gait phase
             # switched since the solve, the held force belongs to the foot
@@ -449,5 +485,6 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
         q=q_cmd, dq=jnp.zeros_like(q_cmd), tau=tau_cmd, kp=kp, kd=kd)
     diag = TickDiagnostics(gait=gait, grf=grf, qp_residual=residual,
                            foot_target=target_w, swing_q=swing_q,
-                           predicted_xi=xi_pred, qp_state=qp_state)
+                           predicted_xi=xi_pred, qp_state=qp_state,
+                           ref_anchor=anchor_next)
     return cmd, diag

@@ -49,6 +49,10 @@ class PlantState:
     kf: "KFState | None" = None
     prev_v: jnp.ndarray | None = None
     prev_q: jnp.ndarray | None = None
+    # walking MPC reference anchor xy (cfg.ref_anchor_band > 0): the
+    # persistent world position the reference ramp originates from,
+    # advanced at v_des and band-clipped each tick; None = receding
+    ref_anchor: jnp.ndarray | None = None
 
 
 def initial_plant_state(cfg: ControllerConfig, batch=(),
@@ -90,6 +94,9 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
             qp_lam = jnp.zeros((*batch, 2 * nu * N), dtype)
         else:
             qp_lam = jnp.ones((*batch, 2 * nu * N), dtype)
+    ref_anchor = None
+    if cfg.ref_anchor_band > 0.0 and cfg.mode == "walk":
+        ref_anchor = pos[..., :2]
     kf = prev_v = prev_q = None
     if cfg.estimator_mode == "kf":
         kf = KFState.initial(batch, cfg.estimator.initial_covariance,
@@ -104,7 +111,8 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
         prev_q = q
     return PlantState(xi=xi, q=q, foot_l=foot_l, foot_r=foot_r,
                       qp_z=qp_z, qp_lam=qp_lam,
-                      kf=kf, prev_v=prev_v, prev_q=prev_q)
+                      kf=kf, prev_v=prev_v, prev_q=prev_q,
+                      ref_anchor=ref_anchor)
 
 
 def _odom_from_xi(xi: jnp.ndarray) -> OdomState:
@@ -119,18 +127,22 @@ import os
 
 
 @functools.lru_cache(maxsize=8)
-def _fused_tick_fn(cfg: ControllerConfig):
+def _fused_tick_fn(cfg: ControllerConfig, mode: str = "1"):
     from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
-    return tf.make_tick_fused(cfg)
+    return tf.make_tick_fused(
+        cfg, use_pallas="interpret" if mode == "interpret" else None)
 
 
 def _use_fused_tick(cfg: ControllerConfig, state: PlantState) -> bool:
     """Dispatch the whole tick to the fused Pallas kernel
     (ops/tick_fused_pallas.py) when the config matches its closed form
-    and we are on real TPU.  MPC_TPU_FUSED_TICK=0 is the kill switch."""
-    if os.environ.get("MPC_TPU_FUSED_TICK", "1") == "0":
+    and we are on real TPU.  MPC_TPU_FUSED_TICK=0 is the kill switch;
+    =interpret forces the kernel through the pallas interpreter on any
+    backend (off-TPU kernel-under-sharding tests)."""
+    mode = os.environ.get("MPC_TPU_FUSED_TICK", "1")
+    if mode == "0":
         return False
-    if jax.default_backend() != "tpu":
+    if mode != "interpret" and jax.default_backend() != "tpu":
         return False
     if state.qp_z is None or state.kf is not None:
         return False
@@ -157,12 +169,18 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
               else jnp.asarray(v_des, dtype))
         wd = jnp.asarray(cfg.desired_yaw_rate, dtype)
         it = jnp.asarray(iteration, dtype)
-        xi, q, fl, fr, z, y, res, grf, tgt = _fused_tick_fn(cfg)(
+        anc = (state.ref_anchor if state.ref_anchor is not None
+               else state.xi[..., 3:5])
+        xi, q, fl, fr, z, y, anc_n, res, grf, tgt = _fused_tick_fn(
+            cfg, os.environ.get("MPC_TPU_FUSED_TICK", "1"))(
             state.xi, state.q, state.foot_l, state.foot_r,
-            state.qp_z, state.qp_lam, it, vd, wd)
+            state.qp_z, state.qp_lam, anc, it, vd, wd)
         new_state = PlantState(xi=xi, q=q, foot_l=fl, foot_r=fr,
                                qp_z=z, qp_lam=y, kf=None,
-                               prev_v=None, prev_q=None)
+                               prev_v=None, prev_q=None,
+                               ref_anchor=(anc_n
+                                           if state.ref_anchor is not None
+                                           else None))
         metrics = {
             "est_error": jnp.zeros(xi.shape[:-1], dtype),
             "height": xi[..., 5],
@@ -217,7 +235,8 @@ def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
         qp_warm = (state.qp_z, state.qp_lam)
     cmd, diag = ctrl.tick(cfg, odom, joints, iteration,
                           grf_override=grf_override, qp_warm=qp_warm,
-                          v_des=v_des)
+                          v_des=v_des, ref_anchor=state.ref_anchor)
+    anchor_new = diag.ref_anchor if state.ref_anchor is not None else None
 
     # ---- SRBD dynamics with the commanded GRF ------------------------
     # exact-ZOH step in explicit vector form (srbd.srbd_step_vector):
@@ -268,7 +287,8 @@ def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
                                        else None),
                                prev_q=(state.q
                                        if state.prev_q is not None
-                                       else None))
+                                       else None),
+                               ref_anchor=anchor_new)
     else:
         # swing leg executes its command; stance leg keeps its foot pinned
         q_sw = jnp.where(left_swing[..., None], cmd.q[..., :3],
@@ -308,7 +328,8 @@ def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
                                        else None),
                                prev_q=(state.q
                                        if state.prev_q is not None
-                                       else None))
+                                       else None),
+                               ref_anchor=anchor_new)
 
     metrics = {
         "est_error": jnp.linalg.norm(odom.pos - truth.pos, axis=-1),

@@ -155,22 +155,35 @@ class ControlSession:
         self._tick = jax.jit(
             lambda odom, joints, it: _packed(
                 ctrl.tick(self.cfg, odom, joints, it)[0]))
+        # walking reference anchor (cfg.ref_anchor_band): device-resident
+        # xy state advanced by the jitted ticks, like the QP warm state
+        self.ref_anchor = None
+        if self.cfg.ref_anchor_band > 0.0 and self.cfg.mode == "walk":
+            self.ref_anchor = jnp.asarray(
+                [0.0, 0.0], jnp.float32)  # reset by the first odom tick
         # Production-path ticks (the benched sim path, live): the GRF QP is
         # warm-started tick-to-tick — on TPU with method "admm_fused" the
         # warm tick routes through the fused condensation+ADMM Pallas
         # kernel (ops/mpc_fused_pallas.py) — and held between re-solves per
         # the reference's dtMPC schedule (include/MPCParam.h:46-47).
 
-        def _warm_impl(odom, joints, it, z, lam):
+        def _warm_impl(odom, joints, it, z, lam, anchor):
             cmd, diag = ctrl.tick(self.cfg, odom, joints, it,
-                                  qp_warm=(z, lam))
+                                  qp_warm=(z, lam), ref_anchor=anchor)
+            anc = diag.ref_anchor if diag.ref_anchor is not None \
+                else jnp.zeros((2,), jnp.float32)
             return (_packed(cmd), diag.qp_state[0], diag.qp_state[1],
-                    diag.grf)
+                    diag.grf, anc)
+
+        def _hold_impl(odom, joints, it, grf, anchor):
+            cmd, diag = ctrl.tick(self.cfg, odom, joints, it,
+                                  grf_override=grf, ref_anchor=anchor)
+            anc = diag.ref_anchor if diag.ref_anchor is not None \
+                else jnp.zeros((2,), jnp.float32)
+            return _packed(cmd), anc
 
         self._tick_warm = jax.jit(_warm_impl)
-        self._tick_hold = jax.jit(
-            lambda odom, joints, it, grf: _packed(ctrl.tick(
-                self.cfg, odom, joints, it, grf_override=grf)[0]))
+        self._tick_hold = jax.jit(_hold_impl)
         self.qp_state = self._initial_qp_state()
         self._held_grf = None
         def _est_impl(kf, joints, imu, contact):
@@ -373,17 +386,25 @@ class ControlSession:
                 it_arr = jnp.asarray(float(it), jnp.float32)
                 solve_now = (not warm) or (it % mpc_every == 0) \
                     or (self._held_grf is None)
+                if self.ref_anchor is not None and it == 0:
+                    # seed the anchor at the first known base position
+                    self.ref_anchor = odom.pos[..., :2]
+                anc = (self.ref_anchor if self.ref_anchor is not None
+                       else jnp.zeros((2,), jnp.float32))
                 if warm and solve_now:
-                    packed, z, lam, grf = self._tick_warm(
+                    packed, z, lam, grf, anc_n = self._tick_warm(
                         odom, joints, it_arr,
-                        self.qp_state[0], self.qp_state[1])
+                        self.qp_state[0], self.qp_state[1], anc)
                     self.qp_state = (z, lam)
                     self._held_grf = grf
                 elif warm:
-                    packed = self._tick_hold(odom, joints, it_arr,
-                                             self._held_grf)
+                    packed, anc_n = self._tick_hold(
+                        odom, joints, it_arr, self._held_grf, anc)
                 else:
                     packed = self._tick(odom, joints, it_arr)
+                    anc_n = None
+                if self.ref_anchor is not None and anc_n is not None:
+                    self.ref_anchor = anc_n
                 p = np.asarray(packed)      # ONE device->host transfer
                 self.link.send_cmd(
                     q=p[0:6], dq=p[6:12], tau=p[12:18], kp=p[18:24],

@@ -302,6 +302,24 @@ class ControllerConfig:
     # Scale on the sqrt(h/g) capture-point gain; <1 soft-steps, tuned for
     # the lateral limit cycle width.
     capture_gain_scale: float = 1.0
+    # Reference-anchor band (m).  The walking MPC reference position ramps
+    # from a persistent world anchor advancing at v_des, clipped to within
+    # this band of the current base position (anti-windup).  This closes
+    # the steady-state velocity bias a purely receding reference cannot
+    # see (a receding reference re-zeroes its position error every solve,
+    # so the limit cycle settles ~14% fast; measured round 3).  0.0
+    # degenerates EXACTLY to the receding reference of include/mpcQP.h:
+    # 83-85 (anchor == current position).
+    ref_anchor_band: float = 0.0
+    # Integral placement gain: the foot target is shifted by
+    # k * (base_pos - anchor) — the anchor integrates (v - v_des), so
+    # this is integral action on the velocity error through the foot
+    # placement (the physically-authoritative actuator for steady-state
+    # speed on a point-foot biped; GRF braking trades against attitude
+    # regulation and leaves a bias).  Measured dvx/d(placement) =
+    # -5.4 /m on the walking config, so gain 0.4 with band 0.1 can trim
+    # up to 0.22 m/s of bias.  0.0 disables.
+    anchor_placement_gain: float = 0.0
     # Desired base height above ground for the SRBD reference (m).
     base_height: float = 0.65
     # Ground plane height (m): foot placement, swing profile, reference
@@ -337,6 +355,14 @@ class ControllerConfig:
             desired_velocity=tuple(float(v) for v in velocity),
             capture_gain_scale=0.6,
             mode="walk",
+            # anchor integral action (round 3): kills the ~14% steady-
+            # state overspeed the receding reference cannot see — vx
+            # settles at 0.5004 vs the commanded 0.5 (was 0.569) within
+            # ~3.5 s.  k = 0.2 puts the integral time constant
+            # (1/(5.4 k) ~ 0.9 s) safely above the 0.6 s gait-cycle
+            # delay; k >= 0.4 oscillates.
+            ref_anchor_band=0.1,
+            anchor_placement_gain=0.2,
             # warm start across ticks: ADMM threads (z, scaled dual y);
             # with PDIP, 6 warm Newton steps match 12 cold steps in
             # closed loop (tests/test_walking)

@@ -302,7 +302,7 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
                      ts: float, mass: float, height_des: float,
                      # refs (inputs):
                      x0_ref, arms_ref, vdes_ref, wdes_ref,
-                     zw_ref, yw_ref,
+                     zw_ref, yw_ref, anc_ref,
                      qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
                      iinv_ref,
                      # refs (outputs):
@@ -314,6 +314,8 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
     v_des, yaw_rate) — the XLA-side prep (linearize_shared +
     discretize_srbd + walking_reference) was 6.7 ms at B=4096, over half
     the remaining tick (models/srbd.py documents the same closed forms).
+    anc_ref [2, L]: the caller-clipped reference-anchor xy (equal to the
+    current position for the receding reference).
     """
     _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               x0_ref[:], lambda k: arms_ref[k], vdes_ref[:], wdes_ref[:],
@@ -321,7 +323,8 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
               zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, xp_out,
-              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s)
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
+              anchor=anc_ref[:])
 
 
 def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
@@ -329,14 +332,17 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               zw_ref, yw_ref,
               qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, xp_out,
-              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s):
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
+              anchor=None):
     """Shared prep+solve core, callable from other kernels (the full-tick
     kernel of ops/tick_fused_pallas.py re-enters here after synthesizing
     the moment arms in-kernel).
 
     x0 [nx, L] / vdes [3, L] / wdes [1, L] / I_inv [3, 3] are VALUES;
     arms_read(k) -> [3, L] reads horizon-step k's stance-foot position
-    (k may be a traced index).
+    (k may be a traced index).  `anchor` [2, L] is the reference-position
+    xy origin (the caller-clipped tracking anchor); None = the receding
+    reference (origin at x0's position).
     """
     L = LANES
     f32 = jnp.float32
@@ -427,10 +433,13 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
     # (models/srbd.py:walking_reference: yaw ramp, v_des-integrated
     # position with z pinned at height_des, omega = (0,0,yaw_rate),
     # vel = v_des for rows >= 1 — only rows 1..N are consumed here)
+    ref_origin_xy = x0[3:5] if anchor is None else anchor
+
     def ref_row(jp1):
-        t = jp1.astype(f32) * ts if hasattr(jp1, "astype")             else jnp.float32(jp1) * ts
+        t = jp1.astype(f32) * ts if hasattr(jp1, "astype") \
+            else jnp.float32(jp1) * ts
         yaw_r = yaw + t * wdes                            # [1, L]
-        xy = x0[3:5] + t * vdes[0:2]                      # [2, L]
+        xy = ref_origin_xy + t * vdes[0:2]                # [2, L]
         zrow = jnp.full((1, L), height_des, f32)
         omega = jnp.concatenate([zero1, zero1, wdes], axis=0)
         return jnp.concatenate(
@@ -583,7 +592,8 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
                               "ts", "mass", "height_des",
                               "q_diag", "r_diag", "p_diag", "Gu", "h",
                               "inertia", "interpret"))
-def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
+def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
+                          anchor, *,
                           N: int, iters: int, rho: float, alpha: float,
                           reg: float, ts: float, mass: float,
                           height_des: float, q_diag, r_diag, p_diag,
@@ -611,6 +621,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
     yaw_rate = _pad_batch(yaw_rate, B_pad)
     z_warm = _pad_batch(z_warm, B_pad)
     y_warm = _pad_batch(y_warm, B_pad)
+    anchor = _pad_batch(anchor, B_pad)
 
     arms_t = jnp.transpose(arms, (1, 2, 0)).astype(f32)        # [N,3,B]
     x0_t = jnp.transpose(x0, (1, 0)).astype(f32)               # [nx,B]
@@ -618,6 +629,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
     wdes_t = yaw_rate[None].astype(f32)                        # [1,B]
     zw_t = jnp.transpose(z_warm, (1, 0)).astype(f32)
     yw_t = jnp.transpose(y_warm, (1, 0)).astype(f32)
+    anc_t = jnp.transpose(anchor, (1, 0)).astype(f32)          # [2,B]
 
     q_np = np.asarray(q_diag, np.float32)[:, None]
     p_np = np.asarray(p_diag, np.float32)[:, None]
@@ -659,6 +671,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
             spec((1,)),            # yaw_rate
             spec((n,)),            # z_warm
             spec((m,)),            # y_warm
+            spec((2,)),            # reference-anchor xy
             const_spec((nx, 1)),   # q_diag
             const_spec((nx, 1)),   # p_diag
             const_spec((nu, nu)),  # diag block
@@ -685,7 +698,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
             pltpu.VMEM((N * nx, nu, LANES), f32),  # bd_s
         ],
         interpret=interpret,
-    )(x0_t, arms_t, vdes_t, wdes_t, zw_t, yw_t,
+    )(x0_t, arms_t, vdes_t, wdes_t, zw_t, yw_t, anc_t,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
       jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np),
       jnp.asarray(iinv_np))
@@ -699,8 +712,9 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm, *,
 
 def make_walking_fused(cfg, use_pallas=None):
     """Prep-fused warm walking GRF solver from the FULL controller
-    config: fn(arms, x0, v_des, yaw_rate, z_warm, y_warm) ->
-    (QPSolution, xi_pred, (z, y)).
+    config: fn(arms, x0, v_des, yaw_rate, z_warm, y_warm, anchor_xy) ->
+    (QPSolution, xi_pred, (z, y)).  anchor_xy [2] is the reference
+    position origin (pass x0's xy for the receding reference).
 
     arms [N,3] per scenario (vmap for batches).  Off-TPU the vmap rule
     runs the XLA composition (srbd linearize/ZOH/reference + condense +
@@ -734,14 +748,16 @@ def make_walking_fused(cfg, use_pallas=None):
     inertia = tuple(float(v) for v in np.asarray(
         cfg.robot.inertia, np.float64).reshape(-1))
 
-    def _xla_batched(arms, x0, v_des, yaw_rate, z_warm, y_warm):
+    def _xla_batched(arms, x0, v_des, yaw_rate, z_warm, y_warm, anc):
         dtype = x0.dtype
         B = x0.shape[0]
         Ac, Bc_t = jax.vmap(lambda a, p, yw: _srbd.linearize_shared(
             cfg.robot, a, p, yw, dtype))(arms, x0[:, 3:6], x0[:, 2])
         Ad, Bd_t = _srbd.discretize_srbd(Ac, Bc_t, ts)
-        x_ref = jax.vmap(lambda xx, vv, ww: _srbd.walking_reference(
-            xx, c, N, vv, ww, height_des=height_des))(x0, v_des, yaw_rate)
+        anc3 = jnp.concatenate([anc, jnp.zeros_like(anc[:, :1])], -1)
+        x_ref = jax.vmap(lambda xx, vv, ww, aa: _srbd.walking_reference(
+            xx, c, N, vv, ww, height_des=height_des,
+            pos_anchor=aa))(x0, v_des, yaw_rate, anc3)
         Q = jnp.diag(jnp.asarray(q_diag, dtype))
         R = jnp.diag(jnp.asarray(r_diag, dtype))
         P = jnp.diag(jnp.asarray(p_diag, dtype))
@@ -760,10 +776,10 @@ def make_walking_fused(cfg, use_pallas=None):
         return sol, xp, zy
 
     @jax.custom_batching.custom_vmap
-    def solve(arms, x0, v_des, yaw_rate, z_warm, y_warm):
+    def solve(arms, x0, v_des, yaw_rate, z_warm, y_warm, anchor):
         sol, xp, zy = _xla_batched(
             arms[None], x0[None], v_des[None], yaw_rate[None],
-            z_warm[None], y_warm[None])
+            z_warm[None], y_warm[None], anchor[None])
         return (QPSolution(u=sol.u[0], iterations=sol.iterations,
                            residual=sol.residual[0]),
                 xp[0], (zy[0][0], zy[1][0]))
@@ -772,10 +788,10 @@ def make_walking_fused(cfg, use_pallas=None):
     def _rule(axis_size, in_batched, *args):
         args = [a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
                 for a, b in zip(args, in_batched)]
-        arms, x0, v_des, yaw_rate, z_warm, y_warm = args
+        arms, x0, v_des, yaw_rate, z_warm, y_warm, anchor = args
         if use_pallas:
             z, y, res, xp = fused_walking_qp_prep(
-                arms, x0, v_des, yaw_rate, z_warm, y_warm,
+                arms, x0, v_des, yaw_rate, z_warm, y_warm, anchor,
                 N=N, iters=iters, rho=rho, alpha=alpha, reg=reg,
                 ts=ts, mass=mass, height_des=height_des,
                 q_diag=q_diag, r_diag=r_diag, p_diag=p_diag,
@@ -785,7 +801,7 @@ def make_walking_fused(cfg, use_pallas=None):
             zy = (z, y)
         else:
             sol, xp, zy = _xla_batched(arms, x0, v_des, yaw_rate,
-                                       z_warm, y_warm)
+                                       z_warm, y_warm, anchor)
         spec = (QPSolution(u=True, iterations=False, residual=True),
                 True, (True, True))
         return (sol, xp, zy), spec

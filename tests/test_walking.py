@@ -94,3 +94,30 @@ def test_batched_walking_scenarios():
     assert not np.isnan(np.asarray(final.xi)).any()
     # staggered phases produce genuinely different trajectories
     assert np.abs(h[0] - h[1]).max() > 1e-4
+
+
+def test_anchor_integral_kills_velocity_bias():
+    """The reference-anchor integral placement action (round 3,
+    cfg.ref_anchor_band/anchor_placement_gain) drives steady-state vx to
+    the commanded 0.5 within +/-0.02 — the receding reference alone
+    settles ~14% fast (0.569 measured), because it re-zeroes its
+    position error every solve and cannot see accumulated drift."""
+    import dataclasses
+    cfg = ControllerConfig.walking()
+    assert cfg.ref_anchor_band > 0.0 and cfg.anchor_placement_gain > 0.0
+    s0 = ro.initial_plant_state(cfg)
+    assert s0.ref_anchor is not None
+    final, m = jax.jit(lambda s: ro.rollout(cfg, s, 3600))(s0)
+    vx = np.asarray(m["velocity"])[:, 0]
+    h = np.asarray(m["height"])
+    assert abs(vx[-600:].mean() - 0.5) < 0.02, vx[-600:].mean()
+    assert abs(h[-600:].mean() - 0.65) < 0.02
+    # and the receding baseline really does overspeed (the bias the
+    # anchor exists to kill)
+    rcfg = dataclasses.replace(cfg, ref_anchor_band=0.0,
+                               anchor_placement_gain=0.0)
+    r0 = ro.initial_plant_state(rcfg)
+    assert r0.ref_anchor is None
+    _, rm = jax.jit(lambda s: ro.rollout(rcfg, s, 1800))(r0)
+    rvx = np.asarray(rm["velocity"])[:, 0]
+    assert rvx[-600:].mean() > 0.54
