@@ -67,7 +67,7 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv,
-              xp_out=None, sp=None):
+              xp_out=None, sp=None, prof_skip=()):
     """Shared kernel core: band condensation -> Cholesky -> warm ADMM.
 
     ad: [nx, nx, L] VALUE (row-major: ad[x] is row x of Ad).
@@ -83,6 +83,11 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
     index), 'ad_right' (M [.,nx,L] -> M Ad), 'ad' (x [nx,L] -> Ad x),
     'bdc' (V [nx,b,L], j -> [b,nu,L] = V' Bd_j contraction).  None =
     generic dense math (arbitrary Ad/Bd inputs).
+
+    prof_skip: trace-time stage-skip set for marginal-cost profiling
+    ONLY (tools/prof_tick_stages.py) — skipping a stage leaves its
+    scratch garbage, so outputs are meaningless; timing stays valid.
+    Stages: "gram", "cols", "lint", "chol", "admm", "solve".
     """
     n = N * nu
     m = N * mu_
@@ -125,7 +130,8 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
         return W_new
 
     W0 = jnp.zeros((nx, nx, L), f32)
-    lax.fori_loop(0, N, w_step, W0)
+    if "gram" not in prof_skip:
+        lax.fori_loop(0, N, w_step, W0)
 
     # ---- 1b. band emission: columns k (dynamic), rows j (static) ----
     # S (column-major scratch) gets S[nu*k+b, nu*j+a] = K[nu*j+a, nu*k+b]
@@ -163,7 +169,8 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
             t = jnp.where(j <= k, t_next, t)
         return 0
 
-    lax.fori_loop(0, N, col_step, 0)
+    if "cols" not in prof_skip:
+        lax.fori_loop(0, N, col_step, 0)
 
     # ---- 1c. symmetrize S in place (static column sweep) -------------
     # After emission S[c, r] holds K[r, c] only for r <= c; fill r > c
@@ -188,7 +195,8 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
         qe_ref[j] = qw * (xn - ref_row(j + 1))
         return xn
 
-    lax.fori_loop(0, N, x_step, x0)
+    if "lint" not in prof_skip:
+        lax.fori_loop(0, N, x_step, x0)
 
     def s_step(t, s):
         j = N - 1 - t
@@ -204,7 +212,8 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
         f_ref[pl.ds(nu * j, nu)] = 2.0 * fj
         return sj
 
-    lax.fori_loop(0, N, s_step, jnp.zeros((nx, L), f32))
+    if "lint" not in prof_skip:
+        lax.fori_loop(0, N, s_step, jnp.zeros((nx, L), f32))
 
     # ---- 2. in-place column-major Cholesky of S ----------------------
     def chol_step(j, _):
@@ -223,7 +232,8 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
                                 colj[:, None, :] * colj[None, :, :], 0.0)
         return 0
 
-    lax.fori_loop(0, n, chol_step, 0)
+    if "chol" not in prof_skip:
+        lax.fori_loop(0, n, chol_step, 0)
 
     # ---- 3. warm ADMM in factor form ---------------------------------
     def solve_inplace():
@@ -281,10 +291,12 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
         y_new = y + gzr - v_new
         return (v_new, y_new)
 
-    v, y = lax.fori_loop(0, iters, admm_iter, (v, y))
+    if "admm" not in prof_skip:
+        v, y = lax.fori_loop(0, iters, admm_iter, (v, y))
 
-    Yv[:] = -f_val + rho * gt_mv(v - y)
-    solve_inplace()
+    if "solve" not in prof_skip:
+        Yv[:] = -f_val + rho * gt_mv(v - y)
+        solve_inplace()
     z = Yv[:]
 
     r_prim = jnp.max(jnp.abs(g_mv(z) - v), axis=0, keepdims=True)
@@ -362,7 +374,7 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, xp_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=None):
+              anchor=None, prof_skip=()):
     """Shared prep+solve core, callable from other kernels (the full-tick
     kernel of ops/tick_fused_pallas.py re-enters here after synthesizing
     the moment arms in-kernel).
@@ -456,7 +468,8 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
         bd_s[pl.ds(nx * k, nx)] = Bd_k
         return 0
 
-    lax.fori_loop(0, N, bd_step, 0)
+    if "lin" not in prof_skip:
+        lax.fori_loop(0, N, bd_step, 0)
 
     # ---- walking reference row synthesizer ----------------------------
     # (models/srbd.py:walking_reference: yaw ramp, v_des-integrated
@@ -535,7 +548,7 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv,
-              xp_out=xp_out, sp=sp)
+              xp_out=xp_out, sp=sp, prof_skip=prof_skip)
 
 
 def _ad_t_vec(ad, s, nx: int):

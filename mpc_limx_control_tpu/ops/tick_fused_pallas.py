@@ -145,7 +145,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  xi_out, q_out, fl_out, fr_out, z_out, y_out, anc_out,
                  res_out, grf_out, tgt_out,
                  # refs (scratch):
-                 S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s, arms_s):
+                 S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s, arms_s,
+                 prof_skip=()):
     L = LANES
     f32 = jnp.float32
     (ax_a, ay_a, az_a, hx, hy, hz, kx, ky, kz, fx, fy, fz) = geom
@@ -196,8 +197,11 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
 
     one = jnp.ones((1, L), f32)
     R_wb = _rot_rpy(theta)
-    p_l_w = pos + _mv(R_wb, fk_leg(q6[0:3], one))
-    p_r_w = pos + _mv(R_wb, fk_leg(q6[3:6], -one))
+    if "fk" in prof_skip:
+        p_l_w, p_r_w = pos, pos
+    else:
+        p_l_w = pos + _mv(R_wb, fk_leg(q6[0:3], one))
+        p_r_w = pos + _mv(R_wb, fk_leg(q6[3:6], -one))
 
     # ---- 3. foot placement (control/gait.py:foot_placement) -----------
     # reference anchor (controller.tick ref_anchor math): clip to the
@@ -271,16 +275,18 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
 
     mir_sw = jnp.where(ls > 0.5, 1.0, -1.0)               # swing side
     q_guess = jnp.where(ls > 0.5, q6[0:3], q6[3:6])
-    swing_q = ik_leg(next_b, q_guess, mir_sw)
+    swing_q = q_guess if "ik" in prof_skip \
+        else ik_leg(next_b, q_guess, mir_sw)
 
     # ---- 5. contact schedule + moment arms over the horizon -----------
     # (control/gait.py:contact_schedule; arms per controller.tick:364-374)
     arm_l = jnp.where(ls > 0.5, target, p_l_w)
     arm_r = jnp.where(ls > 0.5, p_r_w, target)
-    for k in range(N):
-        ph_k = _fmod_pos(t_now + (k * ts), cycle)
-        on_k = ph_k >= swing_t                            # left stance
-        arms_s[k] = jnp.where(on_k, arm_l, arm_r)
+    if "arms" not in prof_skip:
+        for k in range(N):
+            ph_k = _fmod_pos(t_now + (k * ts), cycle)
+            on_k = ph_k >= swing_t                        # left stance
+            arms_s[k] = jnp.where(on_k, arm_l, arm_r)
 
     # ---- 6. the fused MPC solve (re-entering _prep_mpc) ---------------
     _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
@@ -289,10 +295,17 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, None,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=anc_used)
+              anchor=anc_used, prof_skip=prof_skip)
 
     # ---- 7. GRF split + exact-ZOH SRBD plant step ---------------------
     # (controller.tick grf packing + models/srbd.py:srbd_step_vector)
+    if "post" in prof_skip:
+        xi_out[:] = xi
+        q_out[:] = q6
+        fl_out[:] = fl
+        fr_out[:] = fr
+        grf_out[:] = jnp.zeros((6, L), f32)
+        return
     u0 = z_out[0:3]
     on0 = 1.0 - ls                                        # left stance now
     f_l = u0 * on0
@@ -346,7 +359,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
 
     foot_st = jnp.where(ls > 0.5, fr_new, fl_new)
     q_prev_st = jnp.where(ls > 0.5, q6[3:6], q6[0:3])
-    q_st = ik_leg(_mtv(R_new, foot_st - p_new), q_prev_st, -mir_sw)
+    q_st = q_prev_st if "ik" in prof_skip \
+        else ik_leg(_mtv(R_new, foot_st - p_new), q_prev_st, -mir_sw)
     q_out[:] = jnp.where(
         (jnp.zeros((6, 1), f32) + ls) > 0.5,
         jnp.concatenate([swing_q, q_st], axis=0),
@@ -361,7 +375,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                      "use_capture", "anchor_band", "anchor_gain",
                      "off_l", "off_r",
                      "geom", "q_diag", "r_diag", "p_diag", "Gu", "h",
-                     "inertia", "interpret"))
+                     "inertia", "interpret", "prof_skip"))
 def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
                        it, v_des, yaw_rate, *,
                        N: int, iters: int, rho: float, alpha: float,
@@ -372,7 +386,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
                        use_capture: bool, anchor_band: float,
                        anchor_gain: float, off_l, off_r, geom,
                        q_diag, r_diag, p_diag, Gu, h, inertia,
-                       interpret: bool = False):
+                       interpret: bool = False, prof_skip: tuple = ()):
     """Batched whole-tick kernel dispatch.
 
     xi [B,13]; q [B,6]; foot_l/foot_r [B,3]; z_warm [B,N*nu];
@@ -429,7 +443,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
         float(cycle), float(swing_t), float(stance_t), float(gait_height),
         float(p_rel_max), float(ground_h), float(k_cap), bool(use_capture),
         float(anchor_band), float(anchor_gain),
-        tuple(off_l), tuple(off_r), tuple(geom))
+        tuple(off_l), tuple(off_r), tuple(geom), prof_skip=tuple(prof_skip))
 
     grid = (B_pad // LANES,)
 
@@ -519,7 +533,7 @@ def supports_fused_tick(cfg) -> bool:
             and cfg.placement_mode in ("capture", "reference"))
 
 
-def make_tick_fused(cfg, use_pallas=None):
+def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
     """Whole-tick stepper from the full controller config:
     fn(xi, q, foot_l, foot_r, z, y, it, v_des, yaw_rate) — one simulation
     tick per scenario (vmap for batches).
@@ -577,7 +591,7 @@ def make_tick_fused(cfg, use_pallas=None):
         anchor_gain=float(cfg.anchor_placement_gain),
         off_l=off_l, off_r=off_r, geom=geom,
         q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
-        inertia=inertia)
+        inertia=inertia, prof_skip=tuple(prof_skip))
 
     def _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
         """Reference composition, batched (off-TPU fallback)."""
