@@ -225,11 +225,11 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
         sq = jnp.sqrt(d)
         S[j] = colj + jnp.where(r2n == j, sq[None, :], 0.0)
         dg_ref[pl.ds(j, 1)] = sq[None, :]
-        rc_r = lax.broadcasted_iota(jnp.int32, (n, n, L), 0)
-        rc_c = lax.broadcasted_iota(jnp.int32, (n, n, L), 1)
-        trail = (rc_r > j) & (rc_c > j)
-        S[:] = S[:] - jnp.where(trail,
-                                colj[:, None, :] * colj[None, :, :], 0.0)
+        # colj is zeroed at rows <= j, so the rank-1 outer product is
+        # already confined to the trailing (r > j, c > j) block — no
+        # mask needed (saves two [n,n,L] iotas + compare + select per
+        # step, ~half the factorization's VPU work).
+        S[:] = S[:] - colj[:, None, :] * colj[None, :, :]
         return 0
 
     if "chol" not in prof_skip:
@@ -242,8 +242,8 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
             dj = jnp.maximum(dg_ref[pl.ds(j, 1)], 1e-30)  # [1, L]
             yj = Yv[pl.ds(j, 1)] / dj                     # [1, L]
             colj = jnp.where(r2n > j, S[j], 0.0)          # [n, L]
-            Yv[:] = (jnp.where(r2n == j, yj, Yv[:])
-                     - jnp.where(r2n > j, colj * yj, 0.0))
+            # colj is already zero at rows <= j: no second mask needed.
+            Yv[:] = jnp.where(r2n == j, yj, Yv[:]) - colj * yj
             return 0
 
         lax.fori_loop(0, n, fwd_step, 0)
