@@ -104,160 +104,147 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
     h_c = h_ref[:]                                        # [m, 1]
 
     # ---- 1a. backward Gramian recursion W_k -> w_ref ----------------
-    def w_step(t, W):
-        k = N - 1 - t
-        if sp is not None:
-            Wn = sp["ad_right"](sp["adT"](W))
-        else:
-            # Z[y,c,l] = sum_x Ad[x,y,l] W[x,c,l]   (Ad' W)
-            Z = _mm_lane(ad, W, nx)
-            # Wn[y,c',l] = sum_c Z[y,c,l] Ad[c,c',l]
-            Wn = Z[:, 0, :][:, None, :] * ad[0][None, :, :]
-            for c in range(1, nx):
-                Wn = Wn + Z[:, c, :][:, None, :] * ad[c][None, :, :]
-        Wq = Wn + jnp.where(
-            lax.broadcasted_iota(jnp.int32, (nx, nx, L), 0)
-            == lax.broadcasted_iota(jnp.int32, (nx, nx, L), 1),
-            q_v[:, :, None] * jnp.ones((nx, nx, L), f32), 0.0)
-        # k == N-1: W = diag(p); else diag(q) + Ad' W Ad
-        is_last = t == 0
-        Wp = jnp.where(
-            lax.broadcasted_iota(jnp.int32, (nx, nx, L), 0)
-            == lax.broadcasted_iota(jnp.int32, (nx, nx, L), 1),
-            p_v[:, :, None] * jnp.ones((nx, nx, L), f32), 0.0)
-        W_new = jnp.where(is_last, Wp, Wq)
-        w_ref[pl.ds(nx * k, nx)] = W_new
-        return W_new
+    # STATIC backward loop: the diagonal weight masks are hoisted and
+    # built once, every w_ref write has a compile-time offset, and the
+    # k == N-1 select disappears (it is just the first static step).
+    eye_nx = (lax.broadcasted_iota(jnp.int32, (nx, nx, L), 0)
+              == lax.broadcasted_iota(jnp.int32, (nx, nx, L), 1))
+    diag_q = jnp.where(eye_nx, q_v[:, :, None]
+                       * jnp.ones((nx, nx, L), f32), 0.0)
+    diag_p = jnp.where(eye_nx, p_v[:, :, None]
+                       * jnp.ones((nx, nx, L), f32), 0.0)
 
-    W0 = jnp.zeros((nx, nx, L), f32)
     if "gram" not in prof_skip:
-        lax.fori_loop(0, N, w_step, W0)
+        W = diag_p                           # W_{N-1} = diag(p)
+        w_ref[nx * (N - 1):nx * N] = W
+        for k in range(N - 2, -1, -1):
+            if sp is not None:
+                Wn = sp["ad_right"](sp["adT"](W))
+            else:
+                # Z[y,c,l] = sum_x Ad[x,y,l] W[x,c,l]   (Ad' W)
+                Z = _mm_lane(ad, W, nx)
+                # Wn[y,c',l] = sum_c Z[y,c,l] Ad[c,c',l]
+                Wn = Z[:, 0, :][:, None, :] * ad[0][None, :, :]
+                for c in range(1, nx):
+                    Wn = Wn + Z[:, c, :][:, None, :] * ad[c][None, :, :]
+            W = Wn + diag_q                  # diag(q) + Ad' W Ad
+            w_ref[nx * k:nx * (k + 1)] = W
 
     # ---- 1b. band emission: columns k (dynamic), rows j (static) ----
     # S (column-major scratch) gets S[nu*k+b, nu*j+a] = K[nu*j+a, nu*k+b]
     # for j <= k — the upper triangle of K, written with the dynamic
     # index leading.
-    def col_step(k, _):
-        Wk = w_ref[pl.ds(nx * k, nx)]                     # [nx, nx, L]
-        if sp is not None:
-            # sum_x Wk[x,y] Bk[x,u] = (W_k' B_k)[y,u] = W_k B_k (symm.)
-            t0 = sp["bdc"](Wk, k)
-        else:
-            Bk = bd_ref[pl.ds(nx * k, nx)]                # [nx, nu, L]
-            t0 = _mm_lane(Wk, Bk, nx)
-        t = t0
-        for j in range(N - 1, -1, -1):
-            # when j == k the chain starts fresh at W_k B_k
-            t = jnp.where(j == k, t0, t)
-            if sp is not None:
-                E = sp["bdc"](t, j)                       # [nu, nu, L]
-            else:
-                Bj = bd_ref[nx * j:nx * (j + 1)]          # [nx, nu, L]
-                # E[b,a,l] = sum_x t[x,b,l] Bj[x,a,l]  ( = (Bd_j' T)' )
-                E = _mm_lane(t, Bj, nx)
-            blk = 2.0 * E + jnp.where(
-                j == k, jnp.swapaxes(diag_blk, 0, 1)[:, :, None]
-                * jnp.ones((nu, nu, L), f32), 0.0)
-
-            @pl.when(j <= k)
-            def _():
-                S[pl.ds(nu * k, nu), nu * j:nu * (j + 1), :] = blk
-
-            # t <- Ad' t for the next (smaller) j
-            t_next = sp["adT"](t) if sp is not None \
-                else _mm_lane(ad, t, nx)
-            t = jnp.where(j <= k, t_next, t)
-        return 0
-
+    # STATIC double loop: only the j <= k upper triangle is computed
+    # (half the bdc/adT work the fori version spent masking away), and
+    # every w_ref read / S write uses compile-time offsets.
     if "cols" not in prof_skip:
-        lax.fori_loop(0, N, col_step, 0)
+        for k in range(N):
+            Wk = w_ref[nx * k:nx * (k + 1)]               # [nx, nx, L]
+            if sp is not None:
+                # sum_x Wk[x,y] Bk[x,u] = (W_k' B_k)[y,u] = W_k B_k
+                t = sp["bdc"](Wk, k)
+            else:
+                Bk = bd_ref[nx * k:nx * (k + 1)]          # [nx, nu, L]
+                t = _mm_lane(Wk, Bk, nx)
+            for j in range(k, -1, -1):
+                if sp is not None:
+                    E = sp["bdc"](t, j)                   # [nu, nu, L]
+                else:
+                    Bj = bd_ref[nx * j:nx * (j + 1)]      # [nx, nu, L]
+                    # E[b,a,l] = sum_x t[x,b,l] Bj[x,a,l] ( = (Bd_j'T)')
+                    E = _mm_lane(t, Bj, nx)
+                blk = 2.0 * E
+                if j == k:
+                    blk = blk + (jnp.swapaxes(diag_blk, 0, 1)[:, :, None]
+                                 * jnp.ones((nu, nu, L), f32))
+                S[nu * k:nu * (k + 1), nu * j:nu * (j + 1), :] = blk
+                if j > 0:
+                    # t <- Ad' t for the next (smaller) j
+                    t = sp["adT"](t) if sp is not None \
+                        else _mm_lane(ad, t, nx)
 
-    # ---- 1c. symmetrize S in place (static column sweep) -------------
-    # After emission S[c, r] holds K[r, c] only for r <= c; fill r > c
-    # from the mirror S[r, c] (columns r > c are still pristine when
-    # column c is processed in increasing order).
-    r2n = lax.broadcasted_iota(jnp.int32, (n, L), 0)
-    for c in range(n):
-        mirror = S[:, c, :]                               # [n, L] static
-        S[c] = jnp.where(r2n <= c, S[c], mirror)
+    # ---- 1c. symmetrize S in place (static slice copies) -------------
+    # After emission S[c, r] holds K[r, c] only for r <= c; fill rows
+    # r > c of column c from the mirror row c of columns r (no masks:
+    # both sides are compile-time slices).
+    for c in range(n - 1):
+        S[c, c + 1:, :] = S[c + 1:, c, :]
 
     # ---- 1d. linear term f: forward error sweep + adjoint ------------
-    def x_step(j, x):
-        # x_{j+1} = Ad x_j
-        if sp is not None:
-            xn = sp["ad"](x)
-        else:
-            # ad[x] is ROW x of Ad, so contract over the SECOND index.
-            xn = ad[:, 0, :] * x[0:1]
-            for c in range(1, nx):
-                xn = xn + ad[:, c, :] * x[c:c + 1]
-        qw = jnp.where(j == N - 1, p_v, q_v)              # [nx, 1]
-        qe_ref[j] = qw * (xn - ref_row(j + 1))
-        return xn
-
+    # STATIC sweeps: the terminal-weight select and the dynamic
+    # qe/f_ref indexing of the fori version become compile-time.
     if "lint" not in prof_skip:
-        lax.fori_loop(0, N, x_step, x0)
+        x = x0
+        for j in range(N):
+            # x_{j+1} = Ad x_j
+            if sp is not None:
+                xn = sp["ad"](x)
+            else:
+                # ad[x] is ROW x of Ad: contract over the SECOND index.
+                xn = ad[:, 0, :] * x[0:1]
+                for c in range(1, nx):
+                    xn = xn + ad[:, c, :] * x[c:c + 1]
+            qw = p_v if j == N - 1 else q_v               # [nx, 1]
+            qe_ref[j] = qw * (xn - ref_row(j + 1))
+            x = xn
 
-    def s_step(t, s):
-        j = N - 1 - t
-        if sp is not None:
-            sj = qe_ref[j] + sp["adT"](s)
-            fj = sp["bdc"](sj[:, None, :], j)[0]          # [nu, L]
-        else:
-            sj = qe_ref[j] + _ad_t_vec(ad, s, nx)
-            Bj_dyn = bd_ref[pl.ds(nx * j, nx)]            # [nx, nu, L]
-            fj = Bj_dyn[0, :, :] * sj[0:1]
-            for xx in range(1, nx):
-                fj = fj + Bj_dyn[xx, :, :] * sj[xx:xx + 1]
-        f_ref[pl.ds(nu * j, nu)] = 2.0 * fj
-        return sj
-
-    if "lint" not in prof_skip:
-        lax.fori_loop(0, N, s_step, jnp.zeros((nx, L), f32))
+        s = jnp.zeros((nx, L), f32)
+        for j in range(N - 1, -1, -1):
+            if sp is not None:
+                sj = qe_ref[j] + sp["adT"](s)
+                fj = sp["bdc"](sj[:, None, :], j)[0]      # [nu, L]
+            else:
+                sj = qe_ref[j] + _ad_t_vec(ad, s, nx)
+                Bj_s = bd_ref[nx * j:nx * (j + 1)]        # [nx, nu, L]
+                fj = Bj_s[0, :, :] * sj[0:1]
+                for xx in range(1, nx):
+                    fj = fj + Bj_s[xx, :, :] * sj[xx:xx + 1]
+            f_ref[nu * j:nu * (j + 1)] = 2.0 * fj
+            s = sj
 
     # ---- 2. in-place column-major Cholesky of S ----------------------
-    def chol_step(j, _):
-        col = S[j]                                        # [n, L]
-        d = jnp.maximum(
-            jnp.sum(jnp.where(r2n == j, col, 0.0), axis=0), 1e-30)
-        inv = lax.rsqrt(d)
-        colj = jnp.where(r2n > j, col * inv[None, :], 0.0)
-        sq = jnp.sqrt(d)
-        S[j] = colj + jnp.where(r2n == j, sq[None, :], 0.0)
-        dg_ref[pl.ds(j, 1)] = sq[None, :]
-        # colj is zeroed at rows <= j, so the rank-1 outer product is
-        # already confined to the trailing (r > j, c > j) block — no
-        # mask needed (saves two [n,n,L] iotas + compare + select per
-        # step, ~half the factorization's VPU work).
-        S[:] = S[:] - colj[:, None, :] * colj[None, :, :]
-        return 0
-
+    # STATIC pivot loop: every step touches only the trailing
+    # (n-j-1)-column / (n-j-1)-row slice with compile-time offsets —
+    # n^3/3 true-Cholesky work instead of the n^3 a masked full-matrix
+    # rank-1 update pays (plus no per-step iota/select, no masked
+    # diagonal extraction).  The factored column j lives in
+    # S[j, j+1:, :] (strictly-lower part) + dg_ref[j] (sqrt diagonal);
+    # rows <= j of column j are never read again.
     if "chol" not in prof_skip:
-        lax.fori_loop(0, n, chol_step, 0)
+        for j in range(n):
+            colt = S[j, j:, :]                            # [n-j, L]
+            d = jnp.maximum(colt[0:1], 1e-30)             # [1, L]
+            inv = lax.rsqrt(d)
+            dg_ref[j:j + 1] = jnp.sqrt(d)
+            if j + 1 < n:
+                colj = colt[1:] * inv                     # [n-j-1, L]
+                S[j, j + 1:, :] = colj
+                S[j + 1:, j + 1:, :] = (
+                    S[j + 1:, j + 1:, :]
+                    - colj[:, None, :] * colj[None, :, :])
+
+    # reciprocal diagonal, hoisted out of the 2x(iters+1) triangular
+    # sweeps (turns 2n divides+clamps per solve into one multiply each)
+    dg_inv = 1.0 / jnp.maximum(dg_ref[:], 1e-30)          # [n, L]
 
     # ---- 3. warm ADMM in factor form ---------------------------------
     def solve_inplace():
-        """K^{-1} Yv in place: Yv [n, L] holds rhs, gets solution."""
-        def fwd_step(j, _):
-            dj = jnp.maximum(dg_ref[pl.ds(j, 1)], 1e-30)  # [1, L]
-            yj = Yv[pl.ds(j, 1)] / dj                     # [1, L]
-            colj = jnp.where(r2n > j, S[j], 0.0)          # [n, L]
-            # colj is already zero at rows <= j: no second mask needed.
-            Yv[:] = jnp.where(r2n == j, yj, Yv[:]) - colj * yj
-            return 0
+        """K^{-1} Yv in place: Yv [n, L] holds rhs, gets solution.
 
-        lax.fori_loop(0, n, fwd_step, 0)
-
-        def bwd_step(t, _):
-            j = n - 1 - t
-            dj = jnp.maximum(dg_ref[pl.ds(j, 1)], 1e-30)
-            colj = jnp.where(r2n > j, S[j], 0.0)
-            partial = jnp.sum(colj * Yv[:], axis=0, keepdims=True)
-            xj = (Yv[pl.ds(j, 1)] - partial) / dj
-            Yv[:] = jnp.where(r2n == j, xj, Yv[:])
-            return 0
-
-        lax.fori_loop(0, n, bwd_step, 0)
+        STATIC trailing-slice substitution sweeps (half the flops of the
+        masked full-vector form, no iota/select/loop bookkeeping)."""
+        for j in range(n):
+            yj = Yv[j:j + 1] * dg_inv[j:j + 1]            # [1, L]
+            Yv[j:j + 1] = yj
+            if j + 1 < n:
+                Yv[j + 1:] = Yv[j + 1:] - S[j, j + 1:, :] * yj
+        for j in range(n - 1, -1, -1):
+            if j + 1 < n:
+                partial = jnp.sum(S[j, j + 1:, :] * Yv[j + 1:],
+                                  axis=0, keepdims=True)
+            else:
+                partial = 0.0
+            Yv[j:j + 1] = (Yv[j:j + 1] - partial) * dg_inv[j:j + 1]
 
     def g_mv(z):
         """G z via constant-operand MXU matmul: [m,n]x[n,L].
@@ -442,7 +429,7 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
     rows912 = (ts / mass) * eye3L
     row12 = jnp.zeros((1, nu, L), f32)
 
-    def bd_step(k, _):
+    def bd_step(k):
         r = arms_read(k) - pos                            # [3, L]
         rx, ry, rz = r[0:1], r[1:2], r[2:3]
         # skew(r) columns: col0 = (0, rz, -ry), col1 = (-rz, 0, rx),
@@ -465,11 +452,12 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
         rows69 = ts * T
         Bd_k = jnp.concatenate(
             [rows03, rows35, rows69, rows912, row12], axis=0)
-        bd_s[pl.ds(nx * k, nx)] = Bd_k
-        return 0
+        bd_s[nx * k:nx * (k + 1)] = Bd_k
 
     if "lin" not in prof_skip:
-        lax.fori_loop(0, N, bd_step, 0)
+        # static loop: compile-time bd_s offsets and arms reads
+        for k in range(N):
+            bd_step(k)
 
     # ---- walking reference row synthesizer ----------------------------
     # (models/srbd.py:walking_reference: yaw ramp, v_des-integrated
