@@ -138,17 +138,48 @@ def _use_fused_tick(cfg: ControllerConfig, state: PlantState) -> bool:
     (ops/tick_fused_pallas.py) when the config matches its closed form
     and we are on real TPU.  MPC_TPU_FUSED_TICK=0 is the kill switch;
     =interpret forces the kernel through the pallas interpreter on any
-    backend (off-TPU kernel-under-sharding tests)."""
+    backend (off-TPU kernel-under-sharding tests).  KF mode runs the
+    12-state filter in XLA around the kernel (estimate in via xi_est)."""
     mode = os.environ.get("MPC_TPU_FUSED_TICK", "1")
     if mode == "0":
         return False
     if mode != "interpret" and jax.default_backend() != "tpu":
         return False
-    if state.qp_z is None or state.kf is not None:
+    if state.qp_z is None:
+        return False
+    if (state.kf is not None) != (cfg.estimator_mode == "kf"):
         return False
     from mpc_limx_control_tpu.ops.tick_fused_pallas import \
         supports_fused_tick
     return supports_fused_tick(cfg)
+
+
+def _kf_estimate(cfg: ControllerConfig, state: PlantState,
+                 iteration: jnp.ndarray):
+    """Synthesize sensors from the plant truth and run one KF tick
+    (the intended path of src/mpc_control.cpp:158-192): returns
+    (kf_new, odom, truth, joints).  Shared by the unfused composition
+    and the fused-kernel dispatch."""
+    from mpc_limx_control_tpu.control import estimator as est
+    dtype = state.xi.dtype
+    truth = _odom_from_xi(state.xi)
+    dt = cfg.gait.dt
+    dq = (state.q - state.prev_q) / dt
+    joints = JointState(q=state.q, dq=dq, tau=jnp.zeros_like(state.q))
+    R_wb = rot.quat_to_rot(truth.quat)
+    a_world = (truth.v_pos - state.prev_v) / dt
+    g_vec = jnp.asarray([0.0, 0.0, -9.81], dtype)
+    # accelerometer = specific force in the body frame
+    acc_body = jnp.einsum("...ji,...j->...i", R_wb, a_world - g_vec)
+    gyro_body = jnp.einsum("...ji,...j->...i", R_wb, truth.v_ori)
+    imu = ImuData(quat=truth.quat, acc=acc_body, gyro=gyro_body)
+    if cfg.mode == "stand":
+        contact = jnp.ones((*state.q.shape[:-1], 2), bool)
+    else:
+        g_clk = gaitmod.gait_clock(cfg.gait, iteration)
+        contact = jnp.stack([~g_clk.left_swing, g_clk.left_swing], -1)
+    out = est.estimator_tick(cfg, state.kf, joints, imu, contact, dt)
+    return out.kf, out.odom, truth, joints
 
 
 def plant_step(cfg: ControllerConfig, state: PlantState,
@@ -171,24 +202,51 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         it = jnp.asarray(iteration, dtype)
         anc = (state.ref_anchor if state.ref_anchor is not None
                else state.xi[..., 3:5])
-        xi, q, fl, fr, z, y, anc_n, res, grf, tgt = _fused_tick_fn(
-            cfg, os.environ.get("MPC_TPU_FUSED_TICK", "1"))(
-            state.xi, state.q, state.foot_l, state.foot_r,
-            state.qp_z, state.qp_lam, anc, it, vd, wd)
-        new_state = PlantState(xi=xi, q=q, foot_l=fl, foot_r=fr,
-                               qp_z=z, qp_lam=y, kf=None,
-                               prev_v=None, prev_q=None,
-                               ref_anchor=(anc_n
-                                           if state.ref_anchor is not None
-                                           else None))
+        fn = _fused_tick_fn(cfg, os.environ.get("MPC_TPU_FUSED_TICK", "1"))
+        if cfg.estimator_mode == "kf":
+            # the 12-state filter runs IN-KERNEL (sensor synthesis,
+            # contact-gated predict/update, covariance conditioning);
+            # its posterior drives the control stack inside the kernel
+            (xi, q, fl, fr, z, y, anc_n, res, grf, tgt,
+             kf_x, kf_p) = fn(
+                state.xi, state.q, state.foot_l, state.foot_r,
+                state.qp_z, state.qp_lam, anc, it, vd, wd,
+                state.kf.x_hat, state.kf.p_cov,
+                state.prev_v, state.prev_q)
+            kf_new = KFState(x_hat=kf_x, p_cov=kf_p)
+            new_state = PlantState(xi=xi, q=q, foot_l=fl, foot_r=fr,
+                                   qp_z=z, qp_lam=y, kf=kf_new,
+                                   prev_v=state.xi[..., 9:12],
+                                   prev_q=state.q,
+                                   ref_anchor=(anc_n
+                                               if state.ref_anchor
+                                               is not None else None))
+            est_err = jnp.linalg.norm(
+                kf_x[..., 0:3] - state.xi[..., 3:6], axis=-1)
+        else:
+            xi, q, fl, fr, z, y, anc_n, res, grf, tgt = fn(
+                state.xi, state.q, state.foot_l, state.foot_r,
+                state.qp_z, state.qp_lam, anc, it, vd, wd)
+            kf_new = None
+            new_state = PlantState(xi=xi, q=q, foot_l=fl, foot_r=fr,
+                                   qp_z=z, qp_lam=y, kf=None,
+                                   prev_v=None, prev_q=None,
+                                   ref_anchor=(anc_n
+                                               if state.ref_anchor
+                                               is not None else None))
+            est_err = jnp.zeros(xi.shape[:-1], dtype)
         metrics = {
-            "est_error": jnp.zeros(xi.shape[:-1], dtype),
+            "est_error": est_err,
             "height": xi[..., 5],
             "velocity": xi[..., 9:12],
             "grf": grf,
             "qp_residual": res,
             "foot_target": tgt,
         }
+        if cfg.estimator_mode == "kf":
+            cov_diag = jnp.diagonal(kf_new.p_cov, axis1=-2, axis2=-1)
+            metrics["kf_cov_pos"] = cov_diag[..., 0:3]
+            metrics["kf_cov_vel"] = cov_diag[..., 3:6]
         return new_state, metrics
     return _plant_step_ref(cfg, state, iteration,
                            grf_override=grf_override, v_des=v_des)
@@ -202,28 +260,8 @@ def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
     truth = _odom_from_xi(state.xi)
 
     if cfg.estimator_mode == "kf":
-        # the controller sees the FILTER's estimate, not the truth: sensors
-        # are synthesized from the plant exactly as a robot would measure
-        # them (the intended path of src/mpc_control.cpp:158-192)
-        from mpc_limx_control_tpu.control import estimator as est
-        dt = cfg.gait.dt
-        dq = (state.q - state.prev_q) / dt
-        joints = JointState(q=state.q, dq=dq, tau=jnp.zeros_like(state.q))
-        R_wb = rot.quat_to_rot(truth.quat)
-        a_world = (truth.v_pos - state.prev_v) / dt
-        g_vec = jnp.asarray([0.0, 0.0, -9.81], dtype)
-        # accelerometer = specific force in the body frame
-        acc_body = jnp.einsum("...ji,...j->...i", R_wb, a_world - g_vec)
-        gyro_body = jnp.einsum("...ji,...j->...i", R_wb, truth.v_ori)
-        imu = ImuData(quat=truth.quat, acc=acc_body, gyro=gyro_body)
-        if cfg.mode == "stand":
-            contact = jnp.ones((*state.q.shape[:-1], 2), bool)
-        else:
-            g_clk = gaitmod.gait_clock(cfg.gait, iteration)
-            contact = jnp.stack([~g_clk.left_swing, g_clk.left_swing], -1)
-        out = est.estimator_tick(cfg, state.kf, joints, imu, contact, dt)
-        kf_new = out.kf
-        odom = out.odom
+        # the controller sees the FILTER's estimate, not the truth
+        kf_new, odom, truth, joints = _kf_estimate(cfg, state, iteration)
     else:
         kf_new = state.kf
         odom = truth

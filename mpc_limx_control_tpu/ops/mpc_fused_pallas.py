@@ -661,6 +661,11 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
             pltpu.VMEM((n, LANES), f32),           # dg_ref
             pltpu.VMEM((n, LANES), f32),           # Yv
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the two-foot standing kernel's working set (~17 MB:
+            # S [120,120,128] alone is 7.4 MB) exceeds the 16 MB
+            # default scoped-vmem limit; v5e VMEM is 128 MB
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ad_t, bd_flat, xr_t, x0_t, zw_t, yw_t,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
@@ -782,6 +787,11 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
             pltpu.VMEM((nx, nx, LANES), f32),      # ad_s
             pltpu.VMEM((N * nx, nu, LANES), f32),  # bd_s
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the two-foot standing kernel's working set (~17 MB:
+            # S [120,120,128] alone is 7.4 MB) exceeds the 16 MB
+            # default scoped-vmem limit; v5e VMEM is 128 MB
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x0_t, arms_t, vdes_t, wdes_t, zw_t, yw_t, anc_t,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),

@@ -136,17 +136,27 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  k_cap: float, use_capture: bool, anchor_band: float,
                  anchor_gain: float,
                  off_l: tuple, off_r: tuple, geom: tuple,
+                 est_kf: bool, est_c: tuple,
                  # refs (inputs):
-                 xi_ref, q_ref, fl_ref, fr_ref, zw_ref, yw_ref, anc_ref,
-                 it_ref, vdes_ref, wdes_ref,
+                 xi_ref, xe_ref, q_ref, fl_ref, fr_ref, zw_ref, yw_ref,
+                 anc_ref, it_ref, vdes_ref, wdes_ref,
                  qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
                  iinv_ref,
-                 # refs (outputs):
-                 xi_out, q_out, fl_out, fr_out, z_out, y_out, anc_out,
-                 res_out, grf_out, tgt_out,
-                 # refs (scratch):
-                 S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s, arms_s,
+                 # with est_kf: +4 inputs (kfx, kfP, prev_v, prev_q),
+                 # +2 outputs (kfx', kfP'), +3 scratch (Skf, Xk, dgk) —
+                 # parsed from *rest in pallas positional order
+                 *rest,
                  prof_skip=()):
+    if est_kf:
+        (kfx_in, kfp_in, pvel_in, pq_in,
+         xi_out, q_out, fl_out, fr_out, z_out, y_out, anc_out,
+         res_out, grf_out, tgt_out, kfx_out, kfp_out,
+         S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s, arms_s,
+         Skf, Xk, dgk) = rest
+    else:
+        (xi_out, q_out, fl_out, fr_out, z_out, y_out, anc_out,
+         res_out, grf_out, tgt_out,
+         S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s, arms_s) = rest
     L = LANES
     f32 = jnp.float32
     (ax_a, ay_a, az_a, hx, hy, hz, kx, ky, kz, fx, fy, fz) = geom
@@ -157,7 +167,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     psi = float(np.arctan2(kx * fz - kz * fx, kx * fx + kz * fz))
     y_chain_l = hy + ky + fy                   # left-side distal y offset
 
-    xi = xi_ref[:]                                        # [13, L]
+    xi = xi_ref[:]                                        # [13, L] truth
+    xe = xe_ref[:]                                        # [13, L] estimate
     q6 = q_ref[:]                                         # [6, L]
     fl = fl_ref[:]                                        # [3, L]
     fr = fr_ref[:]                                        # [3, L]
@@ -165,11 +176,19 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     vdes = vdes_ref[:]                                    # [3, L]
     wdes = wdes_ref[:]                                    # [1, L]
 
+    # plant-truth state (drives the SRBD step + foot pinning, §7-8)
     theta = xi[0:3]
     pos = xi[3:6]
     w_b = xi[6:9]
     vel = xi[9:12]
     g_state = xi[12:13]
+    # controller-visible state (the odometry the control stack consumes:
+    # truth mode passes xi twice; KF mode passes the filter estimate —
+    # the split mirrors _plant_step_ref feeding ctrl.tick with `odom`
+    # while stepping the plant from state.xi)
+    th_e = xe[0:3]
+    pos_e = xe[3:6]
+    vel_e = xe[9:12]
 
     # ---- 1. gait clock (control/gait.py:gait_clock) -------------------
     t_now = it * dt
@@ -196,12 +215,166 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         return jnp.concatenate([px, py, pz], axis=0)
 
     one = jnp.ones((1, L), f32)
-    R_wb = _rot_rpy(theta)
-    if "fk" in prof_skip:
-        p_l_w, p_r_w = pos, pos
+
+    def jac_vel(q3, dq3, mir):
+        """Closed-form contact-Jacobian velocity J(q) dq [3, L] in the
+        base frame (the analytic form of models/kinematics.py:
+        contact_jacobian for the Rx(q0)Ry(q1)Ry(q2) chain)."""
+        c0, s0 = jnp.cos(q3[0:1]), jnp.sin(q3[0:1])
+        c1, s1 = jnp.cos(q3[1:2]), jnp.sin(q3[1:2])
+        q12 = q3[1:2] + q3[2:3]
+        c12, s12 = jnp.cos(q12), jnp.sin(q12)
+        a1 = c1 * kx + s1 * kz
+        b1 = -s1 * kx + c1 * kz
+        a2 = c12 * fx + s12 * fz
+        b2 = -s12 * fx + c12 * fz
+        uy = y_chain_l * mir
+        uz = hz + b1 + b2
+        d0, d1, d2 = dq3[0:1], dq3[1:2], dq3[2:3]
+        vx = d1 * (b1 + b2) + d2 * b2
+        vz_pl = -(d1 * (a1 + a2) + d2 * a2)          # planar z-rate
+        vy = d0 * (-s0 * uy - c0 * uz) - s0 * vz_pl
+        vz = d0 * (c0 * uy - s0 * uz) + c0 * vz_pl
+        return jnp.concatenate([vx, vy, vz], axis=0)
+
+    # ---- 2a. in-kernel 12-state Kalman filter (est_kf) ----------------
+    # (ops/kf.py math verbatim, batch-last: predict with IMU accel,
+    # contact-gated noise x{high_suspect}, innovation Cholesky, covariance
+    # symmetrization + xy conditioning — include/stateEstimator.h:217-306.
+    # The structured C [14,12] never materializes: C P, S = C P C' + R and
+    # the K-gain products are slice arithmetic on P's blocks.)
+    if est_kf:
+        (ipp, ipv, fpp, fsp, fsv, fhn, big, foot_rad) = est_c
+        kfx = kfx_in[:]                                   # [12, L]
+        P = kfp_in[:]                                     # [12, 12, L]
+        pl_b = fk_leg(q6[0:3], one)
+        pr_b = fk_leg(q6[3:6], -one)
+        R_t = _rot_rpy(theta)                             # truth / IMU
+        dqj = (q6 - pq_in[:]) * (1.0 / dt)
+        omega_w = w_b
+        # accel measurement: body-frame specific force rotated straight
+        # back to world (R^T then R cancels exactly in the synthesized-
+        # sensor loop; ops/kf.py:96 accel_world = R a_imu + g)
+        a_w = (vel - pvel_in[:]) * (1.0 / dt)
+        pl_w = _mv(R_t, pl_b)
+        pr_w = _mv(R_t, pr_b)
+        vl_w = _mv(R_t, jac_vel(q6[0:3], dqj[0:3], one)) \
+            + _cross(omega_w, pl_w)
+        vr_w = _mv(R_t, jac_vel(q6[3:6], dqj[3:6], -one)) \
+            + _cross(omega_w, pr_w)
+        zero1 = jnp.zeros((1, L), f32)
+        rad = jnp.full((1, L), foot_rad, f32)
+        y_obs = jnp.concatenate([
+            -pl_w[0:2], rad - pl_w[2:3], -pr_w[0:2], rad - pr_w[2:3],
+            -vl_w, -vr_w, zero1, zero1], axis=0)          # [14, L]
+
+        # predict
+        xp_a = kfx[0:3] + dt * kfx[3:6] + (0.5 * dt * dt) * a_w
+        xp_b = kfx[3:6] + dt * a_w
+        x_pred = jnp.concatenate([xp_a, xp_b, kfx[6:12]], axis=0)
+        # contact gating from the gait clock (walk: left stance = !ls)
+        gl = jnp.where(ls > 0.5, big, 1.0)                # left in swing
+        gr = jnp.where(ls > 0.5, 1.0, big)
+        g3l = jnp.concatenate([gl, gl, gl], axis=0)
+        g3r = jnp.concatenate([gr, gr, gr], axis=0)
+        qdiag = jnp.concatenate([
+            jnp.full((3, L), (dt / 20.0) * ipp, f32),
+            jnp.full((3, L), (dt * 9.81 / 20.0) * ipv, f32),
+            (dt * fpp) * g3l, (dt * fpp) * g3r], axis=0)  # [12, L]
+        rdiag = jnp.concatenate([
+            fsp * g3l, fsp * g3r, fsv * g3l, fsv * g3r,
+            fhn * gl, fhn * gr], axis=0)                  # [14, L]
+        # P_pred = A P A' + diag(q): A = I + dt E (position<-velocity)
+        AP = jnp.concatenate([P[0:3] + dt * P[3:6], P[3:6], P[6:12]], 0)
+        PP = jnp.concatenate(
+            [AP[:, 0:3] + dt * AP[:, 3:6], AP[:, 3:6], AP[:, 6:12]], 1)
+        eye12 = jnp.where(
+            lax.broadcasted_iota(jnp.int32, (12, 12, 1), 0)
+            == lax.broadcasted_iota(jnp.int32, (12, 12, 1), 1), 1.0, 0.0)
+        P_pred = PP + eye12 * qdiag[:, None, :]
+        # CP = C @ P_pred [14, 12, L] by block slices
+        CP = jnp.concatenate([
+            P_pred[0:3] - P_pred[6:9], P_pred[0:3] - P_pred[9:12],
+            P_pred[3:6], P_pred[3:6], P_pred[8:9], P_pred[11:12]], 0)
+        eye14 = jnp.where(
+            lax.broadcasted_iota(jnp.int32, (14, 14, 1), 0)
+            == lax.broadcasted_iota(jnp.int32, (14, 14, 1), 1), 1.0, 0.0)
+        Skf[:] = jnp.concatenate([
+            CP[:, 0:3] - CP[:, 6:9], CP[:, 0:3] - CP[:, 9:12],
+            CP[:, 3:6], CP[:, 3:6], CP[:, 8:9], CP[:, 11:12]],
+            1) + eye14 * rdiag[:, None, :]
+        # innovation
+        ym = jnp.concatenate([
+            x_pred[0:3] - x_pred[6:9], x_pred[0:3] - x_pred[9:12],
+            x_pred[3:6], x_pred[3:6], x_pred[8:9], x_pred[11:12]], 0)
+        ey = y_obs - ym                                   # [14, L]
+        # RHS [14, 13, L]: col 0 = ey, cols 1:13 = CP
+        Xk[:] = jnp.concatenate([ey[:, None, :], CP], axis=1)
+        # Cholesky of S (static trailing-slice, as the MPC factor)
+        for j in range(14):
+            colt = Skf[j, j:, :]
+            d = jnp.maximum(colt[0:1], 1e-30)
+            dgk[j:j + 1] = jnp.sqrt(d)
+            if j + 1 < 14:
+                colj = colt[1:] * lax.rsqrt(d)
+                Skf[j, j + 1:, :] = colj
+                Skf[j + 1:, j + 1:, :] = (
+                    Skf[j + 1:, j + 1:, :]
+                    - colj[:, None, :] * colj[None, :, :])
+        dgi = 1.0 / jnp.maximum(dgk[:], 1e-30)            # [14, L]
+        for j in range(14):
+            rj = Xk[j] * dgi[j:j + 1]                     # [13, L]
+            Xk[j] = rj
+            if j + 1 < 14:
+                Xk[j + 1:] = (Xk[j + 1:]
+                              - Skf[j, j + 1:, :][:, None, :]
+                              * rj[None, :, :])
+        for j in range(13, -1, -1):
+            if j + 1 < 14:
+                part = jnp.sum(Skf[j, j + 1:, :][:, None, :]
+                               * Xk[j + 1:], axis=0)
+            else:
+                part = 0.0
+            Xk[j] = (Xk[j] - part) * dgi[j:j + 1]
+        s_ey = Xk[:, 0, :]                                # [14, L]
+        SCP = Xk[:, 1:13, :]                              # [14, 12, L]
+        # x_new = x_pred + (P C') S^-1 ey;  (P C')[i,k] = CP[k,i]
+        x_new = x_pred + jnp.sum(CP * s_ey[:, None, :], axis=0)
+        # P_new = P_pred - (P C') (S^-1 C P)
+        corr = CP[0][:, None, :] * SCP[0][None, :, :]
+        for k in range(1, 14):
+            corr = corr + CP[k][:, None, :] * SCP[k][None, :, :]
+        P_new = P_pred - corr
+        P_new = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 2)))
+        # xy conditioning (include/stateEstimator.h:299-306)
+        det_xy = (P_new[0:1, 0, :] * P_new[1:2, 1, :]
+                  - P_new[0:1, 1, :] * P_new[1:2, 0, :])  # [1, L]
+        mask_np = np.ones((12, 12, 1), np.float32)
+        mask_np[0:2, 2:12] = 0.0
+        mask_np[2:12, 0:2] = 0.0
+        scale_np = np.ones((12, 12, 1), np.float32)
+        scale_np[0:2, 0:2] = 0.1
+        P_cond = P_new * jnp.asarray(mask_np) * jnp.asarray(scale_np)
+        P_new = jnp.where((det_xy > 1e-6)[:, None, :], P_cond, P_new)
+        kfx_out[:] = x_new
+        kfp_out[:] = P_new
+        # controller consumes the posterior estimate; orientation and
+        # angular velocity come from the IMU (= truth in this loop)
+        xe = jnp.concatenate(
+            [xe[0:3], x_new[0:3], xe[6:9], x_new[3:6], xe[12:13]], 0)
+        th_e = xe[0:3]
+        pos_e = xe[3:6]
+        vel_e = xe[9:12]
+        R_e = R_t
+        p_l_w = pos_e + pl_w
+        p_r_w = pos_e + pr_w
     else:
-        p_l_w = pos + _mv(R_wb, fk_leg(q6[0:3], one))
-        p_r_w = pos + _mv(R_wb, fk_leg(q6[3:6], -one))
+        R_e = _rot_rpy(th_e)
+        if "fk" in prof_skip:
+            p_l_w, p_r_w = pos_e, pos_e
+        else:
+            p_l_w = pos_e + _mv(R_e, fk_leg(q6[0:3], one))
+            p_r_w = pos_e + _mv(R_e, fk_leg(q6[3:6], -one))
 
     # ---- 3. foot placement (control/gait.py:foot_placement) -----------
     # reference anchor (controller.tick ref_anchor math): clip to the
@@ -209,18 +382,18 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     # and the placement gets the integral correction k*(pos - anchor).
     # band = 0 -> anc_used == pos (receding reference, zero correction).
     anc = anc_ref[:]                                      # [2, L]
-    anc_used = jnp.clip(anc, pos[0:2] - anchor_band,
-                        pos[0:2] + anchor_band)
+    anc_used = jnp.clip(anc, pos_e[0:2] - anchor_band,
+                        pos_e[0:2] + anchor_band)
     anc_out[:] = anc_used + vdes[0:2] * dt
     if use_capture:
-        v_pred = vel
-        corr_x = k_cap * (vel[0:1] - vdes[0:1])
-        corr_y = k_cap * (vel[1:2] - vdes[1:2])
+        v_pred = vel_e
+        corr_x = k_cap * (vel_e[0:1] - vdes[0:1])
+        corr_y = k_cap * (vel_e[1:2] - vdes[1:2])
     else:
         v_pred = vdes
         corr_x = jnp.zeros((1, L), f32)
         corr_y = jnp.zeros((1, L), f32)
-    pred = pos + v_pred * remain
+    pred = pos_e + v_pred * remain
     prx = jnp.clip(v_pred[0:1] * (0.5 * stance_t) + corr_x,
                    -p_rel_max, p_rel_max)
     pry = jnp.clip(v_pred[1:2] * (0.5 * stance_t) + corr_y,
@@ -228,8 +401,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     tgt_x = pred[0:1] + prx + jnp.where(ls > 0.5, off_l[0], off_r[0])
     tgt_y = pred[1:2] + pry + jnp.where(ls > 0.5, off_l[1], off_r[1])
     if anchor_gain > 0.0:
-        tgt_x = tgt_x + anchor_gain * (pos[0:1] - anc_used[0:1])
-        tgt_y = tgt_y + anchor_gain * (pos[1:2] - anc_used[1:2])
+        tgt_x = tgt_x + anchor_gain * (pos_e[0:1] - anc_used[0:1])
+        tgt_y = tgt_y + anchor_gain * (pos_e[1:2] - anc_used[1:2])
     tgt_z = jnp.full((1, L), ground_h, f32)
     target = jnp.concatenate([tgt_x, tgt_y, tgt_z], axis=0)
     tgt_out[:] = target
@@ -239,7 +412,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     nxt = foot_now + (target - foot_now) * progress
     swing_z = ground_h + gait_height * jnp.sin(jnp.pi * progress)
     nxt = jnp.concatenate([nxt[0:2], swing_z], axis=0)
-    next_b = _mtv(R_wb, nxt - pos)
+    next_b = _mtv(R_e, nxt - pos_e)
 
     def ik_leg(tgt_b, q_ref3, mir):
         """Closed-form position IK (models/kinematics.py:
@@ -290,7 +463,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
 
     # ---- 6. the fused MPC solve (re-entering _prep_mpc) ---------------
     _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
-              xi, lambda k: arms_s[k], vdes, wdes, iinv_ref[:],
+              xe, lambda k: arms_s[k], vdes, wdes, iinv_ref[:],
               zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, None,
@@ -375,9 +548,10 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                      "use_capture", "anchor_band", "anchor_gain",
                      "off_l", "off_r",
                      "geom", "q_diag", "r_diag", "p_diag", "Gu", "h",
-                     "inertia", "interpret", "prof_skip"))
-def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
-                       it, v_des, yaw_rate, *,
+                     "inertia", "est_c", "interpret", "prof_skip"))
+def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
+                       anchor, it, v_des, yaw_rate,
+                       kf_x=None, kf_p=None, prev_v=None, prev_q=None, *,
                        N: int, iters: int, rho: float, alpha: float,
                        ts: float, dt: float, mass: float,
                        height_des: float, cycle: float, swing_t: float,
@@ -386,14 +560,23 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
                        use_capture: bool, anchor_band: float,
                        anchor_gain: float, off_l, off_r, geom,
                        q_diag, r_diag, p_diag, Gu, h, inertia,
+                       est_c: tuple = (),
                        interpret: bool = False, prof_skip: tuple = ()):
     """Batched whole-tick kernel dispatch.
 
-    xi [B,13]; q [B,6]; foot_l/foot_r [B,3]; z_warm [B,N*nu];
-    y_warm [B,N*mu]; anchor [B,2]; it [B]; v_des [B,3]; yaw_rate [B].
-    Returns (xi', q', foot_l', foot_r', z, y, anchor', residual [B],
-    grf [B,6], target [B,3]).
+    xi [B,13] (plant truth); xi_est [B,13] (controller-visible odometry —
+    pass xi for truth mode, the KF estimate packed by srbd.initial_state
+    for estimator_mode == "kf"); q [B,6]; foot_l/foot_r [B,3];
+    z_warm [B,N*nu]; y_warm [B,N*mu]; anchor [B,2]; it [B]; v_des [B,3];
+    yaw_rate [B].  Returns (xi', q', foot_l', foot_r', z, y, anchor',
+    residual [B], grf [B,6], target [B,3]).
+
+    With kf_x [B,12] / kf_p [B,12,12] / prev_v [B,3] / prev_q [B,6] the
+    12-state Kalman filter runs IN-KERNEL (est_kf): sensors synthesized
+    from the plant truth, posterior estimate drives the control stack
+    (xi_est is then ignored), and the outputs gain (kf_x', kf_p').
     """
+    est_kf = kf_x is not None
     B = xi.shape[0]
     nx = xi.shape[-1]
     nu = 3
@@ -404,6 +587,7 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
 
     B_pad = ((B + LANES - 1) // LANES) * LANES
     xi = _pad_batch(xi, B_pad)
+    xi_est = _pad_batch(xi_est, B_pad)
     q = _pad_batch(q, B_pad)
     foot_l = _pad_batch(foot_l, B_pad)
     foot_r = _pad_batch(foot_r, B_pad)
@@ -414,7 +598,14 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
     v_des = _pad_batch(v_des, B_pad)
     yaw_rate = _pad_batch(yaw_rate, B_pad)
 
+    if est_kf:
+        kf_x = _pad_batch(kf_x, B_pad)
+        kf_p = _pad_batch(kf_p, B_pad)
+        prev_v = _pad_batch(prev_v, B_pad)
+        prev_q = _pad_batch(prev_q, B_pad)
+
     xi_t = jnp.transpose(xi, (1, 0)).astype(f32)
+    xe_t = jnp.transpose(xi_est, (1, 0)).astype(f32)
     q_t = jnp.transpose(q, (1, 0)).astype(f32)
     fl_t = jnp.transpose(foot_l, (1, 0)).astype(f32)
     fr_t = jnp.transpose(foot_r, (1, 0)).astype(f32)
@@ -443,7 +634,8 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
         float(cycle), float(swing_t), float(stance_t), float(gait_height),
         float(p_rel_max), float(ground_h), float(k_cap), bool(use_capture),
         float(anchor_band), float(anchor_gain),
-        tuple(off_l), tuple(off_r), tuple(geom), prof_skip=tuple(prof_skip))
+        tuple(off_l), tuple(off_r), tuple(geom),
+        bool(est_kf), tuple(est_c), prof_skip=tuple(prof_skip))
 
     grid = (B_pad // LANES,)
 
@@ -460,73 +652,109 @@ def fused_walking_tick(xi, q, foot_l, foot_r, z_warm, y_warm, anchor,
             shape, (lambda i, _nd=nd: (0,) * _nd),
             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        spec((nx,)),           # xi (plant truth)
+        spec((nx,)),           # xi_est (controller odometry)
+        spec((6,)),            # q
+        spec((3,)),            # foot_l
+        spec((3,)),            # foot_r
+        spec((n,)),            # z_warm
+        spec((m,)),            # y_warm
+        spec((2,)),            # reference anchor xy
+        spec((1,)),            # iteration
+        spec((3,)),            # v_des
+        spec((1,)),            # yaw_rate
+        const_spec((nx, 1)),   # q_diag
+        const_spec((nx, 1)),   # p_diag
+        const_spec((nu, nu)),  # diag block
+        const_spec((m, n)),    # Gmat
+        const_spec((n, m)),    # Gmat'
+        const_spec((m, 1)),    # h
+        const_spec((3, 3)),    # I^{-1}
+    ]
+    out_specs = [spec((nx,)), spec((6,)), spec((3,)), spec((3,)),
+                 spec((n,)), spec((m,)), spec((2,)), spec((1,)),
+                 spec((6,)), spec((3,))]
+    out_shape = [
+        jax.ShapeDtypeStruct((nx, B_pad), f32),
+        jax.ShapeDtypeStruct((6, B_pad), f32),
+        jax.ShapeDtypeStruct((3, B_pad), f32),
+        jax.ShapeDtypeStruct((3, B_pad), f32),
+        jax.ShapeDtypeStruct((n, B_pad), f32),
+        jax.ShapeDtypeStruct((m, B_pad), f32),
+        jax.ShapeDtypeStruct((2, B_pad), f32),
+        jax.ShapeDtypeStruct((1, B_pad), f32),
+        jax.ShapeDtypeStruct((6, B_pad), f32),
+        jax.ShapeDtypeStruct((3, B_pad), f32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((n, n, LANES), f32),        # S
+        pltpu.VMEM((N * nx, nx, LANES), f32),  # w_ref
+        pltpu.VMEM((N, nx, LANES), f32),       # qe_ref
+        pltpu.VMEM((n, LANES), f32),           # f_ref
+        pltpu.VMEM((n, LANES), f32),           # dg_ref
+        pltpu.VMEM((n, LANES), f32),           # Yv
+        pltpu.VMEM((nx, nx, LANES), f32),      # ad_s
+        pltpu.VMEM((N * nx, nu, LANES), f32),  # bd_s
+        pltpu.VMEM((N, 3, LANES), f32),        # arms_s
+    ]
+    # kernel positional ref order: 11 per-lane inputs, 7 const inputs,
+    # then (est_kf only) the 4 filter inputs, outputs, scratch
+    kf_args = []
+    if est_kf:
+        in_specs += [spec((12,)), spec((12, 12)), spec((3,)), spec((6,))]
+        kf_args = [jnp.transpose(kf_x, (1, 0)).astype(f32),
+                   jnp.transpose(kf_p, (1, 2, 0)).astype(f32),
+                   jnp.transpose(prev_v, (1, 0)).astype(f32),
+                   jnp.transpose(prev_q, (1, 0)).astype(f32)]
+        out_specs += [spec((12,)), spec((12, 12))]
+        out_shape += [jax.ShapeDtypeStruct((12, B_pad), f32),
+                      jax.ShapeDtypeStruct((12, 12, B_pad), f32)]
+        scratch_shapes += [
+            pltpu.VMEM((14, 14, LANES), f32),  # Skf
+            pltpu.VMEM((14, 13, LANES), f32),  # Xk (rhs: ey | C P)
+            pltpu.VMEM((14, LANES), f32),      # dgk
+        ]
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            spec((nx,)),           # xi
-            spec((6,)),            # q
-            spec((3,)),            # foot_l
-            spec((3,)),            # foot_r
-            spec((n,)),            # z_warm
-            spec((m,)),            # y_warm
-            spec((2,)),            # reference anchor xy
-            spec((1,)),            # iteration
-            spec((3,)),            # v_des
-            spec((1,)),            # yaw_rate
-            const_spec((nx, 1)),   # q_diag
-            const_spec((nx, 1)),   # p_diag
-            const_spec((nu, nu)),  # diag block
-            const_spec((m, n)),    # Gmat
-            const_spec((n, m)),    # Gmat'
-            const_spec((m, 1)),    # h
-            const_spec((3, 3)),    # I^{-1}
-        ],
-        out_specs=(spec((nx,)), spec((6,)), spec((3,)), spec((3,)),
-                   spec((n,)), spec((m,)), spec((2,)), spec((1,)),
-                   spec((6,)), spec((3,))),
-        out_shape=(
-            jax.ShapeDtypeStruct((nx, B_pad), f32),
-            jax.ShapeDtypeStruct((6, B_pad), f32),
-            jax.ShapeDtypeStruct((3, B_pad), f32),
-            jax.ShapeDtypeStruct((3, B_pad), f32),
-            jax.ShapeDtypeStruct((n, B_pad), f32),
-            jax.ShapeDtypeStruct((m, B_pad), f32),
-            jax.ShapeDtypeStruct((2, B_pad), f32),
-            jax.ShapeDtypeStruct((1, B_pad), f32),
-            jax.ShapeDtypeStruct((6, B_pad), f32),
-            jax.ShapeDtypeStruct((3, B_pad), f32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((n, n, LANES), f32),        # S
-            pltpu.VMEM((N * nx, nx, LANES), f32),  # w_ref
-            pltpu.VMEM((N, nx, LANES), f32),       # qe_ref
-            pltpu.VMEM((n, LANES), f32),           # f_ref
-            pltpu.VMEM((n, LANES), f32),           # dg_ref
-            pltpu.VMEM((n, LANES), f32),           # Yv
-            pltpu.VMEM((nx, nx, LANES), f32),      # ad_s
-            pltpu.VMEM((N * nx, nu, LANES), f32),  # bd_s
-            pltpu.VMEM((N, 3, LANES), f32),        # arms_s
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            # the two-foot standing kernel's working set (~17 MB:
+            # S [120,120,128] alone is 7.4 MB) exceeds the 16 MB
+            # default scoped-vmem limit; v5e VMEM is 128 MB
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xi_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, it_t, vd_t, wd_t,
+    )(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, it_t, vd_t, wd_t,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
       jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np),
-      jnp.asarray(iinv_np))
+      jnp.asarray(iinv_np), *kf_args)
 
-    xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t = outs
+    (xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t,
+     *kf_outs) = outs
     tr = lambda a: jnp.transpose(a, (1, 0))[:B]
-    return (tr(xi_n), tr(q_n), tr(fl_n), tr(fr_n), tr(z_t), tr(y_t),
+    base = (tr(xi_n), tr(q_n), tr(fl_n), tr(fr_n), tr(z_t), tr(y_t),
             tr(anc_n), res_t[0, :B], tr(grf_t), tr(tgt_t))
+    if est_kf:
+        kfx_n, kfp_n = kf_outs
+        return base + (tr(kfx_n), jnp.transpose(kfp_n, (2, 0, 1))[:B])
+    return base
 
 
 def supports_fused_tick(cfg) -> bool:
     """True when the walking config matches the kernel's closed form:
-    walk mode, truth odometry, analytic IK, warm admm_fused solver,
+    walk mode, truth OR KF odometry, analytic IK, warm admm_fused solver,
     single-support gait (the kernel bakes the controller.tick:364-374
-    arm/schedule logic for cfg.mode == 'walk')."""
+    arm/schedule logic for cfg.mode == 'walk').  In KF mode the 12-state
+    filter itself stays an XLA composition around the kernel (12x12
+    algebra is a rounding error next to the MPC; control/rollout.py
+    threads the estimate in through the kernel's xi_est input)."""
     return (cfg.mode == "walk"
-            and cfg.estimator_mode == "truth"
+            and cfg.estimator_mode in ("truth", "kf")
             and cfg.ik_method == "analytic"
             and cfg.qp_warm_start
             and cfg.srbd.solver.method == "admm_fused"
@@ -535,8 +763,12 @@ def supports_fused_tick(cfg) -> bool:
 
 def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
     """Whole-tick stepper from the full controller config:
-    fn(xi, q, foot_l, foot_r, z, y, it, v_des, yaw_rate) — one simulation
-    tick per scenario (vmap for batches).
+    fn(xi, q, foot_l, foot_r, z, y, anc, it, v_des, yaw_rate) — one
+    simulation tick per scenario (vmap for batches).  For
+    cfg.estimator_mode == "kf" the signature gains four trailing inputs
+    (kf_x [12], kf_p [12,12], prev_v [3], prev_q [6]) and two trailing
+    outputs (kf_x', kf_p'): the 12-state filter runs IN-KERNEL and its
+    posterior drives the control stack while the plant steps from truth.
 
     Off-TPU (and unbatched) it runs the reference XLA composition
     (control/rollout.py:_plant_step_ref); under vmap on TPU the whole
@@ -593,6 +825,26 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
         q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
         inertia=inertia, prof_skip=tuple(prof_skip))
 
+    est_input = cfg.estimator_mode == "kf"
+    if est_input and not use_pallas:
+        # the XLA fallback composition reconstructs odometry internally
+        # (truth mode only); KF-mode dispatch requires the kernel
+        raise ValueError("make_tick_fused KF mode needs use_pallas "
+                         "(True or 'interpret')")
+    if est_input:
+        e = cfg.estimator
+        statics_kf = dict(est_c=(
+            float(e.imu_process_noise_position),
+            float(e.imu_process_noise_velocity),
+            float(e.foot_process_noise_position),
+            float(e.foot_sensor_noise_position),
+            float(e.foot_sensor_noise_velocity),
+            float(e.foot_height_sensor_noise),
+            float(e.high_suspect_number),
+            float(e.foot_radius)))
+    else:
+        statics_kf = {}
+
     def _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
         """Reference composition, batched (off-TPU fallback)."""
         from mpc_limx_control_tpu.control import rollout as ro
@@ -609,30 +861,45 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
         del yaw_rate  # the composition reads cfg.desired_yaw_rate
         return jax.vmap(one)(xi, q, fl, fr, z, y, anc, it, v_des)
 
-    @jax.custom_batching.custom_vmap
-    def step(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
+    def _call_batched(args):
+        """args = (xi, q, fl, fr, z, y, anc, it, v_des, w [, kf_x, kf_p,
+        prev_v, prev_q])."""
+        xi, q, fl, fr, z, y, anc, it, v_des, w, *kf = args
+        if est_input:
+            return fused_walking_tick(
+                xi, xi, q, fl, fr, z, y, anc, it, v_des, w, *kf,
+                **statics, **statics_kf,
+                interpret=use_pallas == "interpret")
         if use_pallas:
+            return fused_walking_tick(
+                xi, xi, q, fl, fr, z, y, anc, it, v_des, w, **statics,
+                interpret=use_pallas == "interpret")
+        return _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, w)
+
+    if est_input:
+        @jax.custom_batching.custom_vmap
+        def step(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate,
+                 kf_x, kf_p, prev_v, prev_q):
+            outs = _call_batched(tuple(
+                a[None] for a in (xi, q, fl, fr, z, y, anc, it,
+                                  v_des, yaw_rate, kf_x, kf_p,
+                                  prev_v, prev_q)))
+            return tuple(o[0] for o in outs)
+    else:
+        @jax.custom_batching.custom_vmap
+        def step(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
             # single-scenario deployment shape (the 1 kHz real-time loop):
             # one 128-lane kernel instance beats ~100 small XLA ops
-            outs = fused_walking_tick(
-                xi[None], q[None], fl[None], fr[None], z[None], y[None],
-                anc[None], it[None], v_des[None], yaw_rate[None],
-                **statics, interpret=use_pallas == "interpret")
-        else:
-            outs = _xla_batched(xi[None], q[None], fl[None], fr[None],
-                                z[None], y[None], anc[None], it[None],
-                                v_des[None], yaw_rate[None])
-        return tuple(o[0] for o in outs)
+            outs = _call_batched(tuple(
+                a[None] for a in (xi, q, fl, fr, z, y, anc, it, v_des,
+                                  yaw_rate)))
+            return tuple(o[0] for o in outs)
 
     @step.def_vmap
     def _rule(axis_size, in_batched, *args):
-        args = [a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
-                for a, b in zip(args, in_batched)]
-        if use_pallas:
-            outs = fused_walking_tick(
-                *args, **statics, interpret=use_pallas == "interpret")
-        else:
-            outs = _xla_batched(*args)
+        args = tuple(a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
+                     for a, b in zip(args, in_batched))
+        outs = _call_batched(args)
         return tuple(outs), tuple(True for _ in outs)
 
     return step

@@ -124,12 +124,48 @@ def test_supports_fused_tick_predicate():
     assert tf.supports_fused_tick(cfg)
     assert not tf.supports_fused_tick(
         dataclasses.replace(cfg, mode="stand"))
-    assert not tf.supports_fused_tick(
+    assert tf.supports_fused_tick(
         dataclasses.replace(cfg, estimator_mode="kf"))
     assert not tf.supports_fused_tick(
         dataclasses.replace(cfg, ik_method="damped_ls"))
     assert not tf.supports_fused_tick(
         dataclasses.replace(cfg, qp_warm_start=False))
+
+
+def test_tick_fused_kf_mode_matches_composition(monkeypatch):
+    """KF-in-the-loop fused dispatch (XLA filter + kernel via xi_est)
+    vs the full unfused composition, threaded over 5 consecutive ticks
+    (filter state, warm QP state, and anchor must all agree)."""
+    monkeypatch.setenv("MPC_TPU_FUSED_TICK", "interpret")
+    cfg = dataclasses.replace(ControllerConfig.walking(),
+                              estimator_mode="kf")
+    B = 3
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    k1 = jax.random.PRNGKey(3)
+    s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+        0.06 * jax.random.normal(k1, (B,), jnp.float32)))
+    its0 = jnp.asarray([5.0, 210.0, 320.0], jnp.float32)
+
+    assert ro._use_fused_tick(cfg, s0)
+    s_r = s_f = s0
+    for j in range(5):
+        its = its0 + float(j)
+        s_r, m_r = jax.vmap(
+            lambda s1, it1: ro._plant_step_ref(cfg, s1, it1))(s_r, its)
+        s_f, m_f = jax.vmap(
+            lambda s1, it1: ro.plant_step(cfg, s1, it1))(s_f, its)
+
+    np.testing.assert_allclose(np.asarray(s_f.xi), np.asarray(s_r.xi),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.kf.x_hat),
+                               np.asarray(s_r.kf.x_hat), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.kf.p_cov),
+                               np.asarray(s_r.kf.p_cov), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]), atol=2e-1)
+    np.testing.assert_allclose(np.asarray(m_f["est_error"]),
+                               np.asarray(m_r["est_error"]), atol=1e-4)
+    assert "kf_cov_pos" in m_f and "kf_cov_vel" in m_f
 
 
 def test_plant_step_dispatcher_off_tpu_unchanged():
