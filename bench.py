@@ -48,7 +48,11 @@ def quality_gate(skip_kf: bool = False) -> dict:
     * push recovery (0.3 m/s lateral shove at tick 600): height floor,
       velocity recovery within 0.9 s;
     * terrain (ground_height = 0.15): height tracks ground + 0.65;
-    * KF-in-loop (1200 ticks): height floor > 0.55, finite covariance.
+    * standing (2000 ticks, perturbed): height within 0.01 m of 0.65;
+    * KF-in-loop (1200 ticks): height floor > 0.55, finite covariance;
+    * KF + turning and KF + push: the contact-gated filter under gait
+      perturbation (round 4 — the estimator was previously only gated
+      on straight-line walking).
     """
     import dataclasses
     from mpc_limx_control_tpu.core.config import ControllerConfig
@@ -111,6 +115,17 @@ def quality_gate(skip_kf: bool = False) -> dict:
     q["terrain_ok"] = bool(abs(gh[-300:].mean() - 0.80) < 0.02
                            and not np.isnan(gh).any())
 
+    # -- standing balance (BASELINE config 2; the two-foot whole-tick
+    # fused kernel path on TPU since round 4)
+    scfg = ControllerConfig.standing()
+    sst0 = ro.initial_plant_state(scfg)
+    sst0 = sst0.replace(xi=sst0.xi.at[9].add(0.05))
+    _, sm = jax.jit(lambda s: ro.rollout(scfg, s, 2000))(sst0)
+    sh = np.asarray(sm["height"])
+    q["stand_height_mean"] = round(float(sh[-500:].mean()), 4)
+    q["stand_ok"] = bool(abs(sh[-500:].mean() - 0.65) < 0.01
+                         and not np.isnan(sh).any())
+
     if not skip_kf:
         kcfg = dataclasses.replace(cfg, estimator_mode="kf")
         k0 = ro.initial_plant_state(kcfg)
@@ -122,8 +137,47 @@ def quality_gate(skip_kf: bool = False) -> dict:
         q["kf_cov_pos_final"] = round(float(cov[-1].mean()), 6)
         q["kf_ok"] = bool(q["kf_nan_free"] and kh.min() > 0.55
                           and np.isfinite(cov).all())
+
+        # -- KF + turning: contact-gated estimation under gait
+        # perturbation (the filter was only ever gated on straight-line
+        # walking; gating errors surface exactly when the schedule is
+        # stressed — include/stateEstimator.h:260-279)
+        ktcfg = dataclasses.replace(kcfg, desired_yaw_rate=0.3)
+        kt0 = ro.initial_plant_state(ktcfg)
+        ktf, ktm = jax.jit(lambda s: ro.rollout(ktcfg, s, 1200))(kt0)
+        kth = np.asarray(ktm["height"])
+        ktcov = np.asarray(ktm["kf_cov_pos"])
+        ktyaw = float(np.asarray(ktf.xi)[2])
+        q["kf_turn_height_min"] = round(float(kth.min()), 4)
+        q["kf_turn_yaw"] = round(ktyaw, 4)
+        q["kf_turn_ok"] = bool(kth.min() > 0.55 and 0.1 < ktyaw < 0.55
+                               and not np.isnan(kth).any()
+                               and np.isfinite(ktcov).all())
+
+        # -- KF + push recovery: lateral shove with the estimator in the
+        # loop (filter transient + recovery)
+        kp1, kpm1 = jax.jit(lambda s: ro.rollout(kcfg, s, 600))(k0)
+        kpushed = kp1.replace(
+            xi=kp1.xi.at[9:12].add(
+                jnp.asarray([0.0, 0.3, 0.0], jnp.float32)))
+        kp2, kpm2 = jax.jit(
+            lambda s: ro.rollout(kcfg, s, 900, start_iteration=600))(
+            kpushed)
+        kph = np.concatenate([np.asarray(kpm1["height"]),
+                              np.asarray(kpm2["height"])])
+        kpv = np.asarray(kpm2["velocity"])
+        kpcov = np.asarray(kpm2["kf_cov_pos"])
+        q["kf_push_height_min"] = round(float(kph.min()), 4)
+        q["kf_push_ok"] = bool(kph.min() > 0.5
+                               and abs(kpv[-300:, 0].mean() - 0.5) < 0.2
+                               and abs(kpv[-300:, 1].mean()) < 0.2
+                               and not np.isnan(kph).any()
+                               and np.isfinite(kpcov).all())
     q["ok"] = bool(q["walk_ok"] and q["turn_ok"] and q["push_ok"]
-                   and q["terrain_ok"] and q.get("kf_ok", True))
+                   and q["terrain_ok"] and q["stand_ok"]
+                   and q.get("kf_ok", True)
+                   and q.get("kf_turn_ok", True)
+                   and q.get("kf_push_ok", True))
     return q
 
 
@@ -166,6 +220,27 @@ def main():
                 samples.append(time.perf_counter() - t0)
             ts[K] = float(np.median(samples))
         tick = (ts[K2] - ts[K1]) / (K2 - K1)
+        if tick <= 0.0:
+            # a noisy tunnel can make the short scan slower than the
+            # long one; re-measure once with more reps, then fail
+            # loudly rather than print a nonsense canonical number
+            ts = {}
+            for K in (K1, K2):
+                roll = make_roll(K)
+                r = roll()
+                np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+                samples = []
+                for _ in range(3 * reps):
+                    t0 = time.perf_counter()
+                    r = roll()
+                    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+                    samples.append(time.perf_counter() - t0)
+                ts[K] = float(np.median(samples))
+            tick = (ts[K2] - ts[K1]) / (K2 - K1)
+            if tick <= 0.0:
+                raise RuntimeError(
+                    f"scan-slope nonpositive after retry: ts={ts} "
+                    f"(tunnel too noisy for K1={K1}, K2={K2})")
         return tick, ts[K1] - K1 * tick
 
     def _batched_tick_time(cfg2, st0_2):

@@ -139,7 +139,8 @@ def _use_fused_tick(cfg: ControllerConfig, state: PlantState) -> bool:
     and we are on real TPU.  MPC_TPU_FUSED_TICK=0 is the kill switch;
     =interpret forces the kernel through the pallas interpreter on any
     backend (off-TPU kernel-under-sharding tests).  KF mode runs the
-    12-state filter in XLA around the kernel (estimate in via xi_est)."""
+    12-state filter IN-KERNEL (tick_fused_pallas threads kf_x/kf_p
+    through extra operands; see supports_fused_tick)."""
     mode = os.environ.get("MPC_TPU_FUSED_TICK", "1")
     if mode == "0":
         return False
@@ -158,8 +159,9 @@ def _kf_estimate(cfg: ControllerConfig, state: PlantState,
                  iteration: jnp.ndarray):
     """Synthesize sensors from the plant truth and run one KF tick
     (the intended path of src/mpc_control.cpp:158-192): returns
-    (kf_new, odom, truth, joints).  Shared by the unfused composition
-    and the fused-kernel dispatch."""
+    (kf_new, odom, truth, joints).  Used by the unfused composition
+    (_plant_step_ref); the fused dispatch runs the same filter
+    in-kernel (ops/tick_fused_pallas.py)."""
     from mpc_limx_control_tpu.control import estimator as est
     dtype = state.xi.dtype
     truth = _odom_from_xi(state.xi)

@@ -361,7 +361,7 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, xp_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=None, prof_skip=()):
+              anchor=None, prof_skip=(), two_feet=False):
     """Shared prep+solve core, callable from other kernels (the full-tick
     kernel of ops/tick_fused_pallas.py re-enters here after synthesizing
     the moment arms in-kernel).
@@ -371,6 +371,11 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
     (k may be a traced index).  `anchor` [2, L] is the reference-position
     xy origin (the caller-clipped tracking anchor); None = the receding
     reference (origin at x0's position).
+
+    two_feet=True: the double-support standing form (nu = 6): Bd gains a
+    second per-foot column triple and arms_read(k) must return the PAIR
+    (arm_l [3, L], arm_r [3, L]) — the stance_mpc QP of
+    control/controller.py with a full-stance schedule.
     """
     L = LANES
     f32 = jnp.float32
@@ -425,12 +430,15 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
         lax.broadcasted_iota(jnp.int32, (3, 3, L), 0)
         == lax.broadcasted_iota(jnp.int32, (3, 3, L), 1),
         jnp.ones((3, 3, L), f32), 0.0)
-    rows35 = (ts2 / mass) * eye3L
-    rows912 = (ts / mass) * eye3L
+    n_feet = 2 if two_feet else 1
+    eye3rep = jnp.concatenate([eye3L] * n_feet, axis=1)   # [3, nu, L]
+    rows35 = (ts2 / mass) * eye3rep
+    rows912 = (ts / mass) * eye3rep
     row12 = jnp.zeros((1, nu, L), f32)
 
-    def bd_step(k):
-        r = arms_read(k) - pos                            # [3, L]
+    def _foot_cols(r):
+        """Per-foot Bd column triple from the moment arm r = p_f - pos:
+        (rows03 [3,3,L], rows69 [3,3,L])."""
         rx, ry, rz = r[0:1], r[1:2], r[2:3]
         # skew(r) columns: col0 = (0, rz, -ry), col1 = (-rz, 0, rx),
         # col2 = (ry, -rx, 0); T = I_w_inv @ skew(r):
@@ -448,8 +456,17 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
         rt0 = cy[None] * T0[None] + sy[None] * T1[None]   # [1,3,L]
         rt1 = -sy[None] * T0[None] + cy[None] * T1[None]
         rt2 = T2[None]
-        rows03 = ts2 * jnp.concatenate([rt0, rt1, rt2], axis=0)
-        rows69 = ts * T
+        return ts2 * jnp.concatenate([rt0, rt1, rt2], axis=0), ts * T
+
+    def bd_step(k):
+        if two_feet:
+            arm_l, arm_r = arms_read(k)
+            c03l, c69l = _foot_cols(arm_l - pos)
+            c03r, c69r = _foot_cols(arm_r - pos)
+            rows03 = jnp.concatenate([c03l, c03r], axis=1)
+            rows69 = jnp.concatenate([c69l, c69r], axis=1)
+        else:
+            rows03, rows69 = _foot_cols(arms_read(k) - pos)
         Bd_k = jnp.concatenate(
             [rows03, rows35, rows69, rows912, row12], axis=0)
         bd_s[nx * k:nx * (k + 1)] = Bd_k
@@ -506,11 +523,14 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
 
     def _bdc(V, j):
         # E[b,a] = sum_x V[x,b] Bd_j[x,a]; V [nx, b, L] -> [b, nu, L]
+        # (per-foot column triples share the scaled-identity rows 3:6 /
+        # 9:12 — a % 3 indexes the foot-local axis)
         B03 = bd_s[pl.ds(nx * j, 3)]                      # [3, nu, L]
         B69 = bd_s[pl.ds(nx * j + 6, 3)]                  # [3, nu, L]
         cols = []
-        for a in range(3):
-            acc = s1c * V[3 + a] + s2c * V[9 + a]         # [b, L]
+        for a in range(nu):
+            a3 = a % 3
+            acc = s1c * V[3 + a3] + s2c * V[9 + a3]       # [b, L]
             for x in range(3):
                 acc = acc + V[x] * B03[x, a] + V[6 + x] * B69[x, a]
             cols.append(acc[:, None, :])
@@ -662,9 +682,10 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
             pltpu.VMEM((n, LANES), f32),           # Yv
         ],
         compiler_params=pltpu.CompilerParams(
-            # the two-foot standing kernel's working set (~17 MB:
-            # S [120,120,128] alone is 7.4 MB) exceeds the 16 MB
-            # default scoped-vmem limit; v5e VMEM is 128 MB
+            # the condensed-horizon working set (condensation
+            # scratch + S factor + ADMM state, 128-lane batched)
+            # can exceed the 16 MB default scoped-vmem limit at
+            # larger horizons; v5e VMEM is 128 MB, allow 64 MB
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ad_t, bd_flat, xr_t, x0_t, zw_t, yw_t,
@@ -788,9 +809,10 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
             pltpu.VMEM((N * nx, nu, LANES), f32),  # bd_s
         ],
         compiler_params=pltpu.CompilerParams(
-            # the two-foot standing kernel's working set (~17 MB:
-            # S [120,120,128] alone is 7.4 MB) exceeds the 16 MB
-            # default scoped-vmem limit; v5e VMEM is 128 MB
+            # the condensed-horizon working set (condensation
+            # scratch + S factor + ADMM state, 128-lane batched)
+            # can exceed the 16 MB default scoped-vmem limit at
+            # larger horizons; v5e VMEM is 128 MB, allow 64 MB
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x0_t, arms_t, vdes_t, wdes_t, zw_t, yw_t, anc_t,

@@ -136,7 +136,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  k_cap: float, use_capture: bool, anchor_band: float,
                  anchor_gain: float,
                  off_l: tuple, off_r: tuple, geom: tuple,
-                 est_kf: bool, est_c: tuple,
+                 stand: bool, est_kf: bool, est_c: tuple,
                  # refs (inputs):
                  xi_ref, xe_ref, q_ref, fl_ref, fr_ref, zw_ref, yw_ref,
                  anc_ref, it_ref, vdes_ref, wdes_ref,
@@ -272,9 +272,15 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         xp_a = kfx[0:3] + dt * kfx[3:6] + (0.5 * dt * dt) * a_w
         xp_b = kfx[3:6] + dt * a_w
         x_pred = jnp.concatenate([xp_a, xp_b, kfx[6:12]], axis=0)
-        # contact gating from the gait clock (walk: left stance = !ls)
-        gl = jnp.where(ls > 0.5, big, 1.0)                # left in swing
-        gr = jnp.where(ls > 0.5, 1.0, big)
+        # contact gating from the gait clock (walk: left stance = !ls;
+        # stand: both feet in contact — _kf_estimate's mode=="stand"
+        # branch)
+        if stand:
+            gl = jnp.ones((1, L), f32)
+            gr = jnp.ones((1, L), f32)
+        else:
+            gl = jnp.where(ls > 0.5, big, 1.0)            # left in swing
+            gr = jnp.where(ls > 0.5, 1.0, big)
         g3l = jnp.concatenate([gl, gl, gl], axis=0)
         g3r = jnp.concatenate([gr, gr, gr], axis=0)
         qdiag = jnp.concatenate([
@@ -349,12 +355,14 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         # xy conditioning (include/stateEstimator.h:299-306)
         det_xy = (P_new[0:1, 0, :] * P_new[1:2, 1, :]
                   - P_new[0:1, 1, :] * P_new[1:2, 0, :])  # [1, L]
-        mask_np = np.ones((12, 12, 1), np.float32)
-        mask_np[0:2, 2:12] = 0.0
-        mask_np[2:12, 0:2] = 0.0
-        scale_np = np.ones((12, 12, 1), np.float32)
-        scale_np[0:2, 0:2] = 0.1
-        P_cond = P_new * jnp.asarray(mask_np) * jnp.asarray(scale_np)
+        # Build the xy-block mask/scale in-kernel (Pallas rejects captured
+        # host constants): zero the xy<->rest cross-covariances and shrink
+        # the xy block by 0.1, matching stateEstimator.h:299-306.
+        row_xy = lax.broadcasted_iota(jnp.int32, (12, 12, 1), 0) < 2
+        col_xy = lax.broadcasted_iota(jnp.int32, (12, 12, 1), 1) < 2
+        cond_mask = jnp.where(row_xy == col_xy, 1.0, 0.0)
+        cond_scale = jnp.where(row_xy & col_xy, 0.1, 1.0)
+        P_cond = P_new * cond_mask * cond_scale
         P_new = jnp.where((det_xy > 1e-6)[:, None, :], P_cond, P_new)
         kfx_out[:] = x_new
         kfp_out[:] = P_new
@@ -407,12 +415,13 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     target = jnp.concatenate([tgt_x, tgt_y, tgt_z], axis=0)
     tgt_out[:] = target
 
-    # ---- 4. swing trajectory + analytic IK ----------------------------
-    foot_now = jnp.where(ls > 0.5, p_l_w, p_r_w)
-    nxt = foot_now + (target - foot_now) * progress
-    swing_z = ground_h + gait_height * jnp.sin(jnp.pi * progress)
-    nxt = jnp.concatenate([nxt[0:2], swing_z], axis=0)
-    next_b = _mtv(R_e, nxt - pos_e)
+    # ---- 4. swing trajectory + analytic IK (walking only) -------------
+    if not stand:
+        foot_now = jnp.where(ls > 0.5, p_l_w, p_r_w)
+        nxt = foot_now + (target - foot_now) * progress
+        swing_z = ground_h + gait_height * jnp.sin(jnp.pi * progress)
+        nxt = jnp.concatenate([nxt[0:2], swing_z], axis=0)
+        next_b = _mtv(R_e, nxt - pos_e)
 
     def ik_leg(tgt_b, q_ref3, mir):
         """Closed-form position IK (models/kinematics.py:
@@ -446,29 +455,40 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         q1 = _wrap(_atan2(wz, wx) - _atan2(uz, ux))
         return jnp.concatenate([q0, q1, q2], axis=0)
 
-    mir_sw = jnp.where(ls > 0.5, 1.0, -1.0)               # swing side
-    q_guess = jnp.where(ls > 0.5, q6[0:3], q6[3:6])
-    swing_q = q_guess if "ik" in prof_skip \
-        else ik_leg(next_b, q_guess, mir_sw)
+    if not stand:
+        mir_sw = jnp.where(ls > 0.5, 1.0, -1.0)           # swing side
+        q_guess = jnp.where(ls > 0.5, q6[0:3], q6[3:6])
+        swing_q = q_guess if "ik" in prof_skip \
+            else ik_leg(next_b, q_guess, mir_sw)
 
     # ---- 5. contact schedule + moment arms over the horizon -----------
     # (control/gait.py:contact_schedule; arms per controller.tick:364-374)
-    arm_l = jnp.where(ls > 0.5, target, p_l_w)
-    arm_r = jnp.where(ls > 0.5, p_r_w, target)
-    if "arms" not in prof_skip:
-        for k in range(N):
-            ph_k = _fmod_pos(t_now + (k * ts), cycle)
-            on_k = ph_k >= swing_t                        # left stance
-            arms_s[k] = jnp.where(on_k, arm_l, arm_r)
+    if stand:
+        # both feet in stance for the whole horizon, arms step-invariant
+        # (controller.tick's mode == "stand" branch): the MPC pushes the
+        # COM over the support midpoint (stance_mpc's pos_anchor)
+        arms2 = (p_l_w, p_r_w)
+        anchor_mpc = 0.5 * (p_l_w[0:2] + p_r_w[0:2])
+    else:
+        arm_l = jnp.where(ls > 0.5, target, p_l_w)
+        arm_r = jnp.where(ls > 0.5, p_r_w, target)
+        if "arms" not in prof_skip:
+            for k in range(N):
+                ph_k = _fmod_pos(t_now + (k * ts), cycle)
+                on_k = ph_k >= swing_t                    # left stance
+                arms_s[k] = jnp.where(on_k, arm_l, arm_r)
 
     # ---- 6. the fused MPC solve (re-entering _prep_mpc) ---------------
     _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
-              xe, lambda k: arms_s[k], vdes, wdes, iinv_ref[:],
+              xe,
+              (lambda k: arms2) if stand else (lambda k: arms_s[k]),
+              vdes, wdes, iinv_ref[:],
               zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, None,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=anc_used, prof_skip=prof_skip)
+              anchor=anchor_mpc if stand else anc_used,
+              prof_skip=prof_skip, two_feet=stand)
 
     # ---- 7. GRF split + exact-ZOH SRBD plant step ---------------------
     # (controller.tick grf packing + models/srbd.py:srbd_step_vector)
@@ -479,10 +499,14 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         fr_out[:] = fr
         grf_out[:] = jnp.zeros((6, L), f32)
         return
-    u0 = z_out[0:3]
-    on0 = 1.0 - ls                                        # left stance now
-    f_l = u0 * on0
-    f_r = u0 * ls
+    if stand:
+        f_l = z_out[0:3]
+        f_r = z_out[3:6]
+    else:
+        u0 = z_out[0:3]
+        on0 = 1.0 - ls                                    # left stance now
+        f_l = u0 * on0
+        f_r = u0 * ls
     grf_out[:] = jnp.concatenate([f_l, f_r], axis=0)
 
     tau_w = _cross(fl - pos, f_l) + _cross(fr - pos, f_r)
@@ -524,6 +548,17 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
     # ---- 8. next-tick foot/joint kinematics ---------------------------
     # (control/rollout.py swing FK + stance pinning IK, select-then-compute)
     R_new = _rot_rpy(theta_new)
+    if stand:
+        # both feet stay pinned; both legs re-IK'd from the new base pose
+        # (_plant_step_ref's mode == "stand" branch)
+        fl_out[:] = fl
+        fr_out[:] = fr
+        q_l = q6[0:3] if "ik" in prof_skip \
+            else ik_leg(_mtv(R_new, fl - p_new), q6[0:3], one)
+        q_r = q6[3:6] if "ik" in prof_skip \
+            else ik_leg(_mtv(R_new, fr - p_new), q6[3:6], -one)
+        q_out[:] = jnp.concatenate([q_l, q_r], axis=0)
+        return
     p_sw_w = p_new + _mv(R_new, fk_leg(swing_q, mir_sw))
     fl_new = jnp.where(ls > 0.5, p_sw_w, fl)
     fr_new = jnp.where(ls > 0.5, fr, p_sw_w)
@@ -548,7 +583,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                      "use_capture", "anchor_band", "anchor_gain",
                      "off_l", "off_r",
                      "geom", "q_diag", "r_diag", "p_diag", "Gu", "h",
-                     "inertia", "est_c", "interpret", "prof_skip"))
+                     "inertia", "stand", "est_c", "interpret",
+                     "prof_skip"))
 def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
                        anchor, it, v_des, yaw_rate,
                        kf_x=None, kf_p=None, prev_v=None, prev_q=None, *,
@@ -560,7 +596,7 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
                        use_capture: bool, anchor_band: float,
                        anchor_gain: float, off_l, off_r, geom,
                        q_diag, r_diag, p_diag, Gu, h, inertia,
-                       est_c: tuple = (),
+                       stand: bool = False, est_c: tuple = (),
                        interpret: bool = False, prof_skip: tuple = ()):
     """Batched whole-tick kernel dispatch.
 
@@ -579,7 +615,7 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
     est_kf = kf_x is not None
     B = xi.shape[0]
     nx = xi.shape[-1]
-    nu = 3
+    nu = 6 if stand else 3     # two-foot GRF decision variable standing
     mu_ = len(Gu)
     n = N * nu
     m = N * mu_
@@ -635,7 +671,8 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
         float(p_rel_max), float(ground_h), float(k_cap), bool(use_capture),
         float(anchor_band), float(anchor_gain),
         tuple(off_l), tuple(off_r), tuple(geom),
-        bool(est_kf), tuple(est_c), prof_skip=tuple(prof_skip))
+        bool(stand), bool(est_kf), tuple(est_c),
+        prof_skip=tuple(prof_skip))
 
     grid = (B_pad // LANES,)
 
@@ -724,9 +761,9 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            # the two-foot standing kernel's working set (~17 MB:
-            # S [120,120,128] alone is 7.4 MB) exceeds the 16 MB
-            # default scoped-vmem limit; v5e VMEM is 128 MB
+            # whole-tick working set (condensation scratch + S factor
+            # + ADMM state + KF scratch, 128-lane batched) can exceed
+            # the 16 MB default scoped-vmem limit; v5e VMEM is 128 MB
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, it_t, vd_t, wd_t,
@@ -746,14 +783,19 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
 
 
 def supports_fused_tick(cfg) -> bool:
-    """True when the walking config matches the kernel's closed form:
-    walk mode, truth OR KF odometry, analytic IK, warm admm_fused solver,
-    single-support gait (the kernel bakes the controller.tick:364-374
-    arm/schedule logic for cfg.mode == 'walk').  In KF mode the 12-state
-    filter itself stays an XLA composition around the kernel (12x12
-    algebra is a rounding error next to the MPC; control/rollout.py
-    threads the estimate in through the kernel's xi_est input)."""
-    return (cfg.mode == "walk"
+    """True when the config matches the kernel's closed form: walk OR
+    stand mode, truth OR KF odometry, analytic IK, warm admm_fused
+    solver.  Walking bakes the controller.tick:364-374 arm/schedule
+    logic (single-support gait); standing runs the two-foot nu = 6 MPC
+    with step-invariant arms and both feet pinned (controller.stance_mpc
+    + _plant_step_ref's stand branch).  In KF mode the 12-state filter
+    runs IN-KERNEL: sensor synthesis from the true plant state,
+    contact-gated predict/update (stateEstimator.h:260-279 — both feet
+    in contact for stand), and the xy covariance conditioning
+    (stateEstimator.h:299-306), with the filter state/covariance
+    threaded through four extra kernel operands (kf_x, kf_p, prev_v,
+    prev_q) and two extra outputs."""
+    return (cfg.mode in ("walk", "stand")
             and cfg.estimator_mode in ("truth", "kf")
             and cfg.ik_method == "analytic"
             and cfg.qp_warm_start
@@ -780,14 +822,28 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
 
     c = cfg.srbd
     N = c.horizon
+    stand = cfg.mode == "stand"
     mu = float(c.friction_mu)
-    Gu = ((1.0, 0.0, -mu), (-1.0, 0.0, -mu),
-          (0.0, 1.0, -mu), (0.0, -1.0, -mu),
-          (0.0, 0.0, 1.0), (0.0, 0.0, -1.0))
-    hu = (0.0, 0.0, 0.0, 0.0, float(c.fz_max), -float(c.fz_min))
+    Gu1 = ((1.0, 0.0, -mu), (-1.0, 0.0, -mu),
+           (0.0, 1.0, -mu), (0.0, -1.0, -mu),
+           (0.0, 0.0, 1.0), (0.0, 0.0, -1.0))
+    hu1 = (0.0, 0.0, 0.0, 0.0, float(c.fz_max), -float(c.fz_min))
+    if stand:
+        # two-foot standing form: block-diag cone [12, 6], bounds and
+        # input weights duplicated (controller.stance_mpc's warm path —
+        # full-stance constants)
+        Gu_np2 = np.zeros((12, 6), np.float32)
+        Gu_np2[:6, :3] = np.asarray(Gu1, np.float32)
+        Gu_np2[6:, 3:] = np.asarray(Gu1, np.float32)
+        Gu = tuple(tuple(float(v) for v in row) for row in Gu_np2)
+        hu = tuple(hu1) * 2
+        r_diag = tuple(float(v) for v in c.r_diag) * 2
+    else:
+        Gu = Gu1
+        hu = hu1
+        r_diag = tuple(float(v) for v in c.r_diag)
     h = tuple(hu) * N
     q_diag = tuple(float(v) for v in c.q_diag)
-    r_diag = tuple(float(v) for v in c.r_diag)
     p_diag = tuple(float(c.p_scale) * float(v) for v in c.q_diag)
     inertia = tuple(float(v) for v in np.asarray(
         cfg.robot.inertia, np.float64).reshape(-1))
@@ -823,7 +879,7 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
         anchor_gain=float(cfg.anchor_placement_gain),
         off_l=off_l, off_r=off_r, geom=geom,
         q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
-        inertia=inertia, prof_skip=tuple(prof_skip))
+        inertia=inertia, stand=stand, prof_skip=tuple(prof_skip))
 
     est_input = cfg.estimator_mode == "kf"
     if est_input and not use_pallas:

@@ -7,8 +7,9 @@ inputs.  The only allowed deviation is the fused MPC core's
 exact-triangular-solve vs the generic ADMM's explicit f32 K^-1 (bounded
 well under closed-loop tolerance — tests/test_mpc_fused.py).
 
-Runs in interpreter mode on CPU; the real-TPU validation is the bench
-quality gate.
+Runs in interpreter mode on CPU; the real-backend validation is
+tools/smoke_tpu.py (compile+run of every kernel variant on the chip —
+a required snapshot gate, see NOTES.md) plus the bench quality gate.
 """
 
 import dataclasses
@@ -122,8 +123,7 @@ def test_tick_fused_multi_step_warm_threading():
 def test_supports_fused_tick_predicate():
     cfg = ControllerConfig.walking()
     assert tf.supports_fused_tick(cfg)
-    assert not tf.supports_fused_tick(
-        dataclasses.replace(cfg, mode="stand"))
+    assert tf.supports_fused_tick(ControllerConfig.standing())
     assert tf.supports_fused_tick(
         dataclasses.replace(cfg, estimator_mode="kf"))
     assert not tf.supports_fused_tick(
@@ -132,8 +132,60 @@ def test_supports_fused_tick_predicate():
         dataclasses.replace(cfg, qp_warm_start=False))
 
 
+def test_tick_fused_stand_matches_composition():
+    """Standing (two-foot nu = 6) whole-tick kernel vs the unfused
+    composition: one tick from perturbed initial states."""
+    cfg = ControllerConfig.standing()
+    B = 4
+    s = _states(B, jax.random.PRNGKey(2), cfg)
+    its = jnp.asarray([0.0, 17.0, 310.0, 599.0], jnp.float32)
+    v_des = (0.0, 0.0, 0.0)
+
+    st_r, m_r = _run_ref(cfg, s, its, v_des)
+    st_f, m_f = _run_fused(cfg, s, its, v_des)
+
+    np.testing.assert_allclose(np.asarray(st_f.xi), np.asarray(st_r.xi),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q),
+                               atol=1e-4)
+    # feet stay pinned
+    np.testing.assert_allclose(np.asarray(st_f.foot_l),
+                               np.asarray(s.foot_l), atol=0)
+    np.testing.assert_allclose(np.asarray(st_f.foot_r),
+                               np.asarray(s.foot_r), atol=0)
+    np.testing.assert_allclose(np.asarray(m_f["foot_target"]),
+                               np.asarray(m_r["foot_target"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(st_f.qp_z)[:, :18],
+                               np.asarray(st_r.qp_z)[:, :18], atol=5e-2)
+
+
+def test_tick_fused_stand_multi_step():
+    """Standing warm threading: 5 consecutive ticks, final state parity,
+    and the closed loop stays upright (height near the set point)."""
+    cfg = ControllerConfig.standing()
+    B = 3
+    s_r = s_f = _states(B, jax.random.PRNGKey(3), cfg)
+    its0 = jnp.asarray([3.0, 150.0, 410.0], jnp.float32)
+    v_des = (0.0, 0.0, 0.0)
+    for j in range(5):
+        its = its0 + float(j)
+        s_r, m_r = _run_ref(cfg, s_r, its, v_des)
+        s_f, m_f = _run_fused(cfg, s_f, its, v_des)
+
+    np.testing.assert_allclose(np.asarray(s_f.xi), np.asarray(s_r.xi),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.q), np.asarray(s_r.q),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]), atol=2e-1)
+    assert np.all(np.abs(np.asarray(s_f.xi)[:, 5] - 0.65) < 0.05)
+
+
 def test_tick_fused_kf_mode_matches_composition(monkeypatch):
-    """KF-in-the-loop fused dispatch (XLA filter + kernel via xi_est)
+    """KF-in-the-loop fused dispatch (12-state filter IN-KERNEL:
+    sensor synthesis + contact-gated predict/update + xy conditioning)
     vs the full unfused composition, threaded over 5 consecutive ticks
     (filter state, warm QP state, and anchor must all agree)."""
     monkeypatch.setenv("MPC_TPU_FUSED_TICK", "interpret")

@@ -1,8 +1,10 @@
 """Prove the whole-tick fused Pallas kernel composes with sharding on the
-real TPU (VERDICT r2 item 2).
+real TPU (VERDICT r2 item 2; KF coverage + honest timing VERDICT r3
+items 5/8).
 
 Runs the walking config — whose plant_step dispatches to the fused
 whole-tick kernel on a TPU backend (control/rollout.py:_use_fused_tick) —
+in BOTH estimator modes (truth odometry AND the in-kernel 12-state KF)
 through BOTH sharding styles over a mesh of all available TPU devices
 (one chip in this environment), multi-step, and asserts checksum equality
 against the unsharded fused run:
@@ -10,11 +12,17 @@ against the unsharded fused run:
   * GSPMD (parallel/mesh.py:sharded_rollout — jit with NamedSharding)
   * shard_map (parallel/mesh.py:shard_map_rollout — explicit psum/pmax)
 
+All wall times are measured POST-compile (each path runs once to
+compile, then is re-run for timing — the round-3 artifact's
+`wall_s.unsharded` included compile time, which made sharding look like
+a 55x win).
+
 Writes artifacts_fused_sharded_tpu.json at the repo root.
 
 Usage:  python tools/verify_fused_sharded.py   (axon/TPU backend)
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -33,52 +41,41 @@ from mpc_limx_control_tpu.control import rollout as ro
 from mpc_limx_control_tpu.parallel import mesh as pmesh
 
 
-def main():
-    assert jax.default_backend() == "tpu", (
-        "run on the TPU backend (got %s)" % jax.default_backend())
-    devices = jax.devices()
-    cfg = ControllerConfig.walking()
-    B = 256
-    steps = 10
+def _timed(fn, *args):
+    """(compile+run once, then timed re-run) -> (result, wall_s)."""
+    r = fn(*args)
+    jax.tree.map(lambda a: np.asarray(a).ravel()[:1], r)
+    t0 = time.perf_counter()
+    r = fn(*args)
+    jax.tree.map(lambda a: np.asarray(a).ravel()[:1], r)
+    return r, time.perf_counter() - t0
 
+
+def _run_config(name, cfg, mesh, B=256, steps=10):
     s0 = ro.initial_plant_state(cfg, batch=(B,))
     key = jax.random.PRNGKey(11)
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
         0.05 * jax.random.normal(key, (B,), jnp.float32)))
-    assert ro._use_fused_tick(cfg, s0), "fused tick must be the TPU path"
+    assert ro._use_fused_tick(cfg, s0), \
+        f"[{name}] fused tick must be the TPU path"
 
-    mesh = pmesh.make_mesh(devices)
-
-    # unsharded fused reference
-    t0 = time.perf_counter()
-    ref, _ = jax.jit(lambda s: ro.batched_rollout(cfg, s, steps))(s0)
+    (ref, _), t_ref = _timed(
+        jax.jit(lambda s: ro.batched_rollout(cfg, s, steps)), s0)
     ref_xi = np.asarray(ref.xi)
-    t_ref = time.perf_counter() - t0
 
-    # GSPMD
     run = pmesh.sharded_rollout(cfg, mesh, steps)
-    t0 = time.perf_counter()
-    fin_g, stats_g = run(pmesh.shard_leading(s0, mesh),
-                         jnp.asarray(0.0, jnp.float32))
+    (fin_g, stats_g), t_gspmd = _timed(
+        run, pmesh.shard_leading(s0, mesh), jnp.asarray(0.0, jnp.float32))
     xi_g = np.asarray(fin_g.xi)
-    t_gspmd = time.perf_counter() - t0
     err_g = float(np.abs(xi_g - ref_xi).max())
 
-    # shard_map
     smap = pmesh.shard_map_rollout(cfg, mesh, steps)
-    t0 = time.perf_counter()
-    fin_s, stats_s = smap(pmesh.shard_leading(s0, mesh),
-                          jnp.asarray(0.0, jnp.float32))
+    (fin_s, stats_s), t_smap = _timed(
+        smap, pmesh.shard_leading(s0, mesh), jnp.asarray(0.0, jnp.float32))
     xi_s = np.asarray(fin_s.xi)
-    t_smap = time.perf_counter() - t0
     err_s = float(np.abs(xi_s - ref_xi).max())
 
-    out = {
-        "backend": jax.default_backend(),
-        "devices": [str(d) for d in devices],
-        "mesh_devices": int(mesh.devices.size),
-        "batch": B,
-        "steps": steps,
+    return {
         "fused_tick_active": True,
         "gspmd_max_abs_err_vs_unsharded": err_g,
         "shard_map_max_abs_err_vs_unsharded": err_s,
@@ -86,11 +83,35 @@ def main():
             np.asarray(stats_g["mean_height"])[-1]),
         "shard_map_mean_height_final": float(
             np.asarray(stats_s["mean_height"])[-1]),
-        "wall_s": {"unsharded": round(t_ref, 2), "gspmd": round(t_gspmd, 2),
-                   "shard_map": round(t_smap, 2)},
+        "wall_s_post_compile": {
+            "unsharded": round(t_ref, 3), "gspmd": round(t_gspmd, 3),
+            "shard_map": round(t_smap, 3)},
         "ok": bool(err_g < 1e-4 and err_s < 1e-4
-                   and np.isfinite(xi_g).all() and np.isfinite(xi_s).all()),
+                   and np.isfinite(xi_g).all()
+                   and np.isfinite(xi_s).all()),
     }
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        "run on the TPU backend (got %s)" % jax.default_backend())
+    devices = jax.devices()
+    mesh = pmesh.make_mesh(devices)
+    B, steps = 256, 10
+
+    cfg_truth = ControllerConfig.walking()
+    cfg_kf = dataclasses.replace(cfg_truth, estimator_mode="kf")
+
+    out = {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in devices],
+        "mesh_devices": int(mesh.devices.size),
+        "batch": B,
+        "steps": steps,
+        "truth": _run_config("truth", cfg_truth, mesh, B, steps),
+        "kf": _run_config("kf", cfg_kf, mesh, B, steps),
+    }
+    out["ok"] = bool(out["truth"]["ok"] and out["kf"]["ok"])
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts_fused_sharded_tpu.json")
     with open(path, "w") as fh:
