@@ -384,6 +384,12 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
                         joints.q[..., :3], joints.q[..., 3:])
     if cfg.ik_method == "analytic":
         swing_q = kin.inverse_kinematics_analytic(g_sw, next_b, q_guess)
+    elif cfg.ik_method == "log6":
+        # the reference's literal pinocchio loop: 6-DoF log6 error with
+        # an identity target orientation (pinocchio_kinematics.h:61-149)
+        swing_q = kin.inverse_kinematics_log6(
+            g_sw, next_b, q_guess, iters=cfg.ik_iters,
+            damp=cfg.ik_damp, dt=cfg.ik_dt)
     else:
         swing_q = kin.inverse_kinematics_damped_ls(
             g_sw, next_b, q_guess, iters=cfg.ik_iters, damp=cfg.ik_damp)

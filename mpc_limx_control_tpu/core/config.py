@@ -335,9 +335,11 @@ class ControllerConfig:
     # Thread (z, lambda) from tick to tick and warm-start the GRF QP
     # (solver.warm_iters Newton steps instead of solver.iters).
     qp_warm_start: bool = False
-    # Swing IK: "analytic" closed-form 3-DoF point-foot IK (preferred) or
-    # "damped_ls" fixed-iteration 6D-log damped least squares matching
-    # include/pinocchio_kinematics.h:61-149.
+    # Swing IK: "analytic" closed-form 3-DoF point-foot IK (preferred);
+    # "damped_ls" fixed-iteration position-error damped least squares;
+    # "log6" the reference's literal SE(3) 6-DoF log-error loop
+    # (include/pinocchio_kinematics.h:61-149 — trades position accuracy
+    # against the point foot's unreachable identity orientation).
     ik_method: str = "analytic"
     ik_iters: int = 10           # pinocchio_kinematics.h:61 (max_iterations)
     ik_tol: float = 1e-3

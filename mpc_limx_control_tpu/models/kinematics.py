@@ -13,12 +13,13 @@ part of the reference repo; what it does ship are the exact link offsets in
 is fully determined.  On TPU that admits a *closed-form* position IK (the
 planar 2R sub-problem after decoupling the abad roll), which replaces the
 iterative FK+Jacobian+LDLT loop with a handful of fused elementwise ops —
-exactly vmappable over scenarios and legs.  A fixed-iteration damped-LS
-Gauss-Newton IK is kept as a fallback/parity path (position error only: a
-point foot has no controllable orientation, so the reference's 6D log6
-error — which trades position accuracy against an unreachable identity
-orientation, include/pinocchio_kinematics.h:91-127 — is intentionally not
-reproduced).
+exactly vmappable over scenarios and legs.  Two iterative parity paths
+are kept alongside: a position-only damped-LS Gauss-Newton
+(`inverse_kinematics_damped_ls`) and the reference's full SE(3) log6
+6-DoF loop (`inverse_kinematics_log6`, pinocchio_kinematics.h:61-149)
+— the latter reproduces the reference's actual behavior of trading
+position accuracy against the unreachable identity orientation of a
+point foot (ik_method="log6"; the production configs use "analytic").
 
 Conventions: left leg uses the offsets as given (y > 0); the right leg
 mirrors every offset's y component.  Joint vector per leg: (abad, hip,
@@ -194,6 +195,128 @@ def inverse_kinematics_damped_ls(geom: LegGeometry, target: jnp.ndarray,
 
     q, _ = lax.scan(body, q_init, None, length=iters)
     return q
+
+
+def _skew(w):
+    z = jnp.zeros_like(w[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -w[..., 2], w[..., 1]], -1),
+        jnp.stack([w[..., 2], z, -w[..., 0]], -1),
+        jnp.stack([-w[..., 1], w[..., 0], z], -1),
+    ], -2)
+
+
+def log3(R: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) log: rotation matrix [..., 3, 3] -> axis-angle [..., 3]
+    (pinocchio::log3), valid for theta in [0, pi) away from pi.
+
+    Differentiation-safe at the identity: built from atan2(sin, cos)
+    with double-where guards instead of arccos (whose derivative is NaN
+    at the clipped |c| = 1 boundary under jacfwd — the IK Jacobian is
+    forward-mode autodiff through this function, and the swing error
+    rotation routinely passes near identity)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    c = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    w_raw = 0.5 * jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                             R[..., 0, 2] - R[..., 2, 0],
+                             R[..., 1, 0] - R[..., 0, 1]], -1)
+    s2 = jnp.sum(w_raw * w_raw, -1)            # sin^2(theta)
+    small = s2 < 1e-12
+    s_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(s_safe, c)
+    scale_big = theta / s_safe
+    # theta -> 0: scale = theta/sin(theta) = 1 + theta^2/6 + ...,
+    # and 1 - c = theta^2/2, so scale = 1 + (1-c)/3 (smooth in c)
+    scale_small = 1.0 + (1.0 - c) * (1.0 / 3.0)
+    scale = jnp.where(small, scale_small, scale_big)
+    return w_raw * scale[..., None]
+
+
+def log6(R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) log: (R [...,3,3], p [...,3]) -> twist [..., 6] in
+    pinocchio Motion::toVector() order (linear first, angular second).
+    Linear part = V(theta)^-1 p with the standard closed-form V^-1 =
+    I - [w]x/2 + coef [w]x^2, coef -> 1/12 as theta -> 0.  Small-angle
+    branches use the double-where guard so forward-mode autodiff (the
+    IK Jacobian) stays finite at theta = 0."""
+    w = log3(R)
+    th2 = jnp.sum(w * w, -1)
+    # wide Taylor branch: below theta ~ 1e-2 the closed form's
+    # 2(1-cos) - theta sin is catastrophically cancelled in f32
+    # (cos(theta) rounds to 1.0 for theta < ~3e-4 -> 0/0), while the
+    # 1/12 + theta^2/720 series is accurate to ~theta^4/3e4 there
+    small = th2 < 1e-4
+    th_safe = jnp.sqrt(jnp.where(small, 1.0, th2))
+    s, c = jnp.sin(th_safe), jnp.cos(th_safe)
+    denom = jnp.where(small, 1.0, 2.0 * (1.0 - c) * th2)
+    coef_big = (2.0 * (1.0 - c) - th_safe * s) / denom
+    coef = jnp.where(small, 1.0 / 12.0 + th2 * (1.0 / 720.0), coef_big)
+    wx = _skew(w)
+    eye = jnp.eye(3, dtype=R.dtype)
+    v_inv = eye - 0.5 * wx + coef[..., None, None] * (wx @ wx)
+    v = jnp.einsum("...ij,...j->...i", v_inv, p)
+    return jnp.concatenate([v, w], -1)
+
+
+def leg_pose(geom: LegGeometry, q: jnp.ndarray):
+    """Contact-frame pose in the base frame: (R [..., 3, 3], p [..., 3]).
+    The URDF's fixed foot/contact joints carry identity rotations, so the
+    frame rotation is the joint chain product Rx(q0)Ry(q1)Ry(q2)."""
+    r0 = _rx(q[..., 0])
+    r01 = r0 @ _ry(q[..., 1])
+    r012 = r01 @ _ry(q[..., 2])
+    p = (geom.abad
+         + jnp.einsum("...ij,j->...i", r0, geom.hip)
+         + jnp.einsum("...ij,j->...i", r01, geom.knee)
+         + jnp.einsum("...ij,j->...i", r012, geom.foot))
+    return r012, p
+
+
+def inverse_kinematics_log6(geom: LegGeometry, target: jnp.ndarray,
+                            q_init: jnp.ndarray, iters: int = 10,
+                            damp: float = 1e-6,
+                            dt: float = 0.1) -> jnp.ndarray:
+    """SE(3) log6 damped-least-squares IK — full parity with the
+    reference's pinocchio loop (include/pinocchio_kinematics.h:61-149):
+    desired pose oMdes = (Identity, target); per iteration the 6-DoF
+    error err = log6(oMf^-1 oMdes), J = d err/d q (the reference forms
+    this as -Jlog6(iMd^-1) @ frameJacobian — here the SAME matrix is
+    produced by forward-mode autodiff of the log6 error, which IS that
+    chain rule), then v = -J' (J J' + damp I)^-1 err and q <- q + v DT
+    with the reference's DT = 1e-1, damp = 1e-6, <=10 iterations.
+
+    A 3-joint point foot cannot realize the identity orientation, so the
+    6-DoF error trades position accuracy against the unreachable
+    rotation — the reference's actual (documented) swing-IK behavior.
+    The production configs use the exact closed-form position IK
+    (ik_method="analytic"); this path is selected by ik_method="log6".
+
+    Branch-free fixed iteration count (the reference's err.norm() < eps
+    early-out almost never fires with an unreachable orientation)."""
+    eye6 = jnp.eye(6, dtype=q_init.dtype)
+
+    def err_fn(q, tgt):
+        R, p = leg_pose(geom, q)
+        Rt = jnp.swapaxes(R, -1, -2)
+        t_i = jnp.einsum("...ij,...j->...i", Rt, tgt - p)
+        return log6(Rt, t_i)
+
+    def one(q0, tgt):
+        def body(q, _):
+            e = err_fn(q, tgt)
+            J = jax.jacfwd(lambda qq: err_fn(qq, tgt))(q)   # [6, 3]
+            JJt = J @ J.T + damp * eye6
+            v = -J.T @ jnp.linalg.solve(JJt, e)
+            return q + dt * v, None
+        q, _ = lax.scan(body, q0, None, length=iters)
+        return q
+
+    if q_init.ndim == 1:
+        return one(q_init, target)
+    flat_q = q_init.reshape(-1, 3)
+    flat_t = target.reshape(-1, 3)
+    out = jax.vmap(one)(flat_q, flat_t)
+    return out.reshape(q_init.shape)
 
 
 def full_fk(offsets: LegOffsets, q6: jnp.ndarray, dtype=None):

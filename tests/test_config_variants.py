@@ -27,6 +27,19 @@ def test_walking_with_damped_ls_ik():
     assert not np.isnan(np.asarray(final.xi)).any()
 
 
+def test_walking_with_log6_ik():
+    """The reference's literal SE(3) log6 6-DoF IK loop
+    (include/pinocchio_kinematics.h:61-149, ik_method="log6") in the
+    controller: the swing foot lands short of the target (the 6-DoF
+    error trades position against the unreachable identity orientation)
+    but the gait must survive — height held, no NaN."""
+    cfg = dataclasses.replace(ControllerConfig.walking(),
+                              ik_method="log6")
+    h, v, final = _run(cfg)
+    assert h.min() > 0.45, h.min()
+    assert not np.isnan(np.asarray(final.xi)).any()
+
+
 def test_walking_with_admm_solver():
     base = ControllerConfig.walking()
     cfg = dataclasses.replace(

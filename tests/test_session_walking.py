@@ -42,6 +42,49 @@ def _make_plant_step(cfg: ControllerConfig):
     gr = kin.leg_geometry(cfg.robot.legs, "right", dtype)
     dt = cfg.gait.dt
 
+    if cfg.mode == "stand":
+        @jax.jit
+        def step(xi, q, foot_l, foot_r, cmd_q, cmd_tau, cmd_kp):
+            """Standing plant: reconstruct BOTH feet's GRF from the
+            commanded stance torques (tau = J^T(-R^T f) inverted per
+            leg), step the SRBD with both feet pinned, re-IK both legs."""
+            R_wb = rot.quat_to_rot(rot.rpy_to_quat(xi[0:3]))
+            J_l = kin.contact_jacobian(gl, q[:3])
+            J_r = kin.contact_jacobian(gr, q[3:])
+            f_l_w = R_wb @ (-jnp.linalg.solve(
+                jnp.swapaxes(J_l, -1, -2), cmd_tau[:3]))
+            f_r_w = R_wb @ (-jnp.linalg.solve(
+                jnp.swapaxes(J_r, -1, -2), cmd_tau[3:]))
+            grf = jnp.concatenate([f_l_w, f_r_w])
+
+            yaw = xi[2]
+            feet = jnp.stack([foot_l, foot_r], axis=-2)
+            Ac, Bc2 = srbd.linearize_shared(cfg.robot, feet, xi[3:6],
+                                            yaw, dtype)
+            Bc = jnp.concatenate(
+                [Bc2[..., 0, :, :], Bc2[..., 1, :, :]], axis=-1)
+            Ad, Bd = srbd.discretize_srbd(Ac, Bc, dt)
+            xi_new = Ad @ xi + Bd @ grf
+
+            base_new = xi_new[3:6]
+            R_new = rot.quat_to_rot(rot.rpy_to_quat(xi_new[0:3]))
+            q_l = kin.inverse_kinematics_analytic(
+                gl, R_new.T @ (foot_l - base_new), q[:3])
+            q_r = kin.inverse_kinematics_analytic(
+                gr, R_new.T @ (foot_r - base_new), q[3:])
+            q_new = jnp.concatenate([q_l, q_r])
+
+            quat = rot.rpy_to_quat(xi_new[0:3])
+            g_vec = jnp.asarray([0.0, 0.0, -9.81], dtype)
+            a_w = (xi_new[9:12] - xi[9:12]) / dt
+            acc_b = R_new.T @ (a_w - g_vec)
+            gyro_b = R_new.T @ xi_new[6:9]
+            dq = (q_new - q) / dt
+            return (xi_new, q_new, foot_l, foot_r, quat, acc_b, gyro_b,
+                    dq)
+
+        return step
+
     @jax.jit
     def step(xi, q, foot_l, foot_r, cmd_q, cmd_tau, cmd_kp):
         # swing side from the command's gain pattern (controller.tick packs
@@ -270,5 +313,31 @@ def test_session_production_path_truth_odom():
         assert abs(xi[5] - sim_xi[5]) < 0.03, (xi[5], sim_xi[5])
         assert abs(xi[3] - sim_xi[3]) < 0.25 * max(1.0, sim_xi[3]), \
             (xi[3], sim_xi[3])
+    finally:
+        plant.close()
+
+
+def test_session_standing_balance():
+    """Standing balance through the live UDP session (BASELINE config 2
+    as a production session): the two-foot warm GRF QP on the dtMPC
+    schedule holds the base at the commanded height with both feet
+    pinned, driven purely over the wire."""
+    base = 18090 + int(time.time() * 10) % 200
+    sp, cp = base, base + 1
+    cfg = ControllerConfig.standing()
+    plant = WirePlant(cfg, sp, cp, publish_truth_odom=True)
+    try:
+        with ses.ControlSession(cfg, host_ip="127.0.0.1", state_port=sp,
+                                cmd_port=cp) as session:
+            iters = 1000
+            stats = session.run(iterations=iters, hz=1000.0)
+        assert stats["sent"] == iters
+        assert stats["mpc_solves"] == iters // cfg.gait.mpc_step
+        xi = np.asarray(plant.xi)
+        assert plant.steps_taken > iters * 0.9
+        # standing: height held, no drift, upright
+        assert 0.63 < xi[5] < 0.67, xi[5]
+        assert abs(xi[3]) < 0.05 and abs(xi[4]) < 0.05, xi[3:5]
+        assert abs(xi[0]) < 0.05 and abs(xi[1]) < 0.05, xi[0:2]
     finally:
         plant.close()

@@ -228,3 +228,35 @@ def test_plant_step_dispatcher_off_tpu_unchanged():
     st, m = jax.vmap(lambda s1, it1: ro.plant_step(cfg, s1, it1))(
         s, jnp.asarray([0.0, 100.0], jnp.float32))
     assert np.isfinite(np.asarray(st.xi)).all()
+
+
+def test_tick_fused_stand_kf_matches_composition(monkeypatch):
+    """Standing + in-kernel KF (both-feet contact gating): fused dispatch
+    vs the unfused composition over 4 consecutive ticks."""
+    monkeypatch.setenv("MPC_TPU_FUSED_TICK", "interpret")
+    cfg = dataclasses.replace(ControllerConfig.standing(),
+                              estimator_mode="kf")
+    B = 2
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+        0.04 * jax.random.normal(jax.random.PRNGKey(5), (B,),
+                                 jnp.float32)))
+    its0 = jnp.asarray([2.0, 330.0], jnp.float32)
+
+    assert ro._use_fused_tick(cfg, s0)
+    s_r = s_f = s0
+    for j in range(4):
+        its = its0 + float(j)
+        s_r, m_r = jax.vmap(
+            lambda s1, it1: ro._plant_step_ref(cfg, s1, it1))(s_r, its)
+        s_f, m_f = jax.vmap(
+            lambda s1, it1: ro.plant_step(cfg, s1, it1))(s_f, its)
+
+    np.testing.assert_allclose(np.asarray(s_f.xi), np.asarray(s_r.xi),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.kf.x_hat),
+                               np.asarray(s_r.kf.x_hat), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.kf.p_cov),
+                               np.asarray(s_r.kf.p_cov), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]), atol=2e-1)
