@@ -21,11 +21,19 @@ Prints ONE JSON line:
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    """Stage marker on stderr (the stdout contract is ONE JSON line);
+    a driver tailing the log can see which compile the bench is in."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 # persistent compilation cache (the fused MPC kernel's first compile under
 # vmap+scan costs minutes; repeat bench runs hit the disk cache)
@@ -48,7 +56,9 @@ def quality_gate(skip_kf: bool = False) -> dict:
     * push recovery (0.3 m/s lateral shove at tick 600): height floor,
       velocity recovery within 0.9 s;
     * terrain (ground_height = 0.15): height tracks ground + 0.65;
-    * standing (2000 ticks, perturbed): height within 0.01 m of 0.65;
+    * standing (2000 ticks, lateral vy kick — the recoverable axis for
+      collinear point feet; see the in-code physics note): height
+      within 0.01 m of 0.65;
     * KF-in-loop (1200 ticks): height floor > 0.55, finite covariance;
     * KF + turning and KF + push: the contact-gated filter under gait
       perturbation (round 4 — the estimator was previously only gated
@@ -58,12 +68,16 @@ def quality_gate(skip_kf: bool = False) -> dict:
     from mpc_limx_control_tpu.core.config import ControllerConfig
     from mpc_limx_control_tpu.control import rollout as ro
 
+    def _q(name):
+        _progress(f"quality: {name}")
+
     cfg = ControllerConfig.walking()
     B = 64
     s0 = ro.initial_plant_state(cfg, batch=(B,))
     key = jax.random.PRNGKey(7)
     s0 = s0.replace(xi=s0.xi.at[:, 9].add(
         0.05 * jax.random.normal(key, (B,), jnp.float32)))
+    _q("walking 3000 ticks B=64")
     final, m = jax.jit(
         lambda s: ro.batched_rollout(cfg, s, 3000))(s0)
     h = np.asarray(m["height"])            # [B, T]
@@ -82,6 +96,7 @@ def quality_gate(skip_kf: bool = False) -> dict:
     # -- turning (tests/test_robustness.py:test_turning_walk, on chip)
     tcfg = dataclasses.replace(cfg, desired_yaw_rate=0.3)
     t0 = ro.initial_plant_state(tcfg)
+    _q("turning")
     tf_, tm = jax.jit(lambda s: ro.rollout(tcfg, s, 1500))(t0)
     th = np.asarray(tm["height"])
     tyaw = float(np.asarray(tf_.xi)[2])
@@ -92,6 +107,7 @@ def quality_gate(skip_kf: bool = False) -> dict:
 
     # -- push recovery (lateral shove, tests/test_robustness.py)
     p0 = ro.initial_plant_state(cfg)
+    _q("push")
     p1, pm1 = jax.jit(lambda s: ro.rollout(cfg, s, 600))(p0)
     pushed = p1.replace(
         xi=p1.xi.at[9:12].add(jnp.asarray([0.0, 0.3, 0.0], jnp.float32)))
@@ -109,6 +125,7 @@ def quality_gate(skip_kf: bool = False) -> dict:
     # -- terrain (raised ground plane, tests/test_terrain.py)
     gcfg = dataclasses.replace(cfg, ground_height=0.15)
     g0 = ro.initial_plant_state(gcfg)
+    _q("terrain")
     gf, gm = jax.jit(lambda s: ro.rollout(gcfg, s, 900))(g0)
     gh = np.asarray(gm["height"])
     q["terrain_height_mean"] = round(float(gh[-300:].mean()), 4)
@@ -116,10 +133,19 @@ def quality_gate(skip_kf: bool = False) -> dict:
                            and not np.isnan(gh).any())
 
     # -- standing balance (BASELINE config 2; the two-foot whole-tick
-    # fused kernel path on TPU since round 4)
+    # fused kernel path on TPU since round 4).  The perturbation is
+    # LATERAL (vy): the two point feet have support width only in y, so
+    # a y-kick is recoverable through the fz differential (CoP shift)
+    # while an x-kick is physically unrecoverable without stepping —
+    # fx is the only pitch-torque source, and returning pitch to rest
+    # forces net integral(fx) ~ 0, so x-momentum cannot be shed (the
+    # classic zero-CoP-width point-foot limitation; measured: vy kicks
+    # up to 0.15 m/s recover to <1 mm height error, any vx kick
+    # diverges in ~1.5 s on every solver incl. cold 20-iter PDIP).
     scfg = ControllerConfig.standing()
     sst0 = ro.initial_plant_state(scfg)
-    sst0 = sst0.replace(xi=sst0.xi.at[9].add(0.05))
+    sst0 = sst0.replace(xi=sst0.xi.at[10].add(0.05))
+    _q("standing")
     _, sm = jax.jit(lambda s: ro.rollout(scfg, s, 2000))(sst0)
     sh = np.asarray(sm["height"])
     q["stand_height_mean"] = round(float(sh[-500:].mean()), 4)
@@ -129,6 +155,7 @@ def quality_gate(skip_kf: bool = False) -> dict:
     if not skip_kf:
         kcfg = dataclasses.replace(cfg, estimator_mode="kf")
         k0 = ro.initial_plant_state(kcfg)
+        _q("kf straight")
         _, km = jax.jit(lambda s: ro.rollout(kcfg, s, 1200))(k0)
         kh = np.asarray(km["height"])
         cov = np.asarray(km["kf_cov_pos"])
@@ -144,6 +171,7 @@ def quality_gate(skip_kf: bool = False) -> dict:
         # stressed — include/stateEstimator.h:260-279)
         ktcfg = dataclasses.replace(kcfg, desired_yaw_rate=0.3)
         kt0 = ro.initial_plant_state(ktcfg)
+        _q("kf turning")
         ktf, ktm = jax.jit(lambda s: ro.rollout(ktcfg, s, 1200))(kt0)
         kth = np.asarray(ktm["height"])
         ktcov = np.asarray(ktm["kf_cov_pos"])
@@ -156,6 +184,7 @@ def quality_gate(skip_kf: bool = False) -> dict:
 
         # -- KF + push recovery: lateral shove with the estimator in the
         # loop (filter transient + recovery)
+        _q("kf push")
         kp1, kpm1 = jax.jit(lambda s: ro.rollout(kcfg, s, 600))(k0)
         kpushed = kp1.replace(
             xi=kp1.xi.at[9:12].add(
@@ -254,6 +283,7 @@ def main():
             return lambda: f(st0_2)
         return _scan_slope(mk)
 
+    _progress(f"walking batched slope B={batch}...")
     tick_s, rtt_s = _batched_tick_time(cfg, state0)
     solves_per_s = batch / tick_s
     step_latency = tick_s
@@ -266,6 +296,7 @@ def main():
         f = jax.jit(lambda s: ro.rollout(cfg, s, K)[0])
         return lambda: f(s1)
 
+    _progress("single-scenario latency slope...")
     p50, _ = _scan_slope(_single_roll, K1=50, K2=250)
 
     # Standing-balance (BASELINE config 2) and KF-in-loop (config 3)
@@ -279,7 +310,9 @@ def main():
         return b2 / t
 
     from mpc_limx_control_tpu.core.config import ControllerConfig as _CC
+    _progress("standing batched slope...")
     stand_tput = _cfg_throughput(_CC.standing())
+    _progress("kf batched slope...")
     kf_tput = _cfg_throughput(_dc.replace(cfg, estimator_mode="kf"))
 
     # Per-dispatch real-time latency: one host-dispatched single-scenario
@@ -299,6 +332,7 @@ def main():
         dls.append(time.perf_counter() - t0)
     dispatch_p50 = float(np.median(dls))
 
+    _progress("quality gate...")
     quality = quality_gate(
         skip_kf=os.environ.get("BENCH_SKIP_KF", "") == "1")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1,11 +1,14 @@
-"""Batched TRON1 walking demo (BASELINE config 4).
+"""Batched TRON1 walking/standing demo (BASELINE configs 2-4).
 
-Runs B perturbed walking scenarios closed-loop on the available device,
-logs structured per-step metrics, and writes a trajectory plot.
+Runs B perturbed scenarios closed-loop on the available device, logs
+structured per-step metrics, and writes a trajectory plot.  On TPU the
+whole tick runs as one fused Pallas program for both modes and both
+estimators (ops/tick_fused_pallas.py).
 
 Usage:
     python examples/run_walking.py [--batch 256] [--steps 2000]
-        [--velocity 0.5] [--out /tmp/walk]
+        [--velocity 0.5] [--mode walk|stand] [--estimator truth|kf]
+        [--out /tmp/walk]
 """
 
 import argparse
@@ -32,10 +35,19 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--velocity", type=float, default=0.5)
+    ap.add_argument("--mode", choices=("walk", "stand"), default="walk")
+    ap.add_argument("--estimator", choices=("truth", "kf"),
+                    default="truth")
     ap.add_argument("--out", type=str, default="/tmp/walk")
     args = ap.parse_args()
 
-    cfg = ControllerConfig.walking(velocity=(args.velocity, 0.0, 0.0))
+    import dataclasses
+    if args.mode == "stand":
+        cfg = ControllerConfig.standing()
+    else:
+        cfg = ControllerConfig.walking(velocity=(args.velocity, 0.0, 0.0))
+    if args.estimator == "kf":
+        cfg = dataclasses.replace(cfg, estimator_mode="kf")
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -80,7 +92,7 @@ def main():
         axes[0].set_ylabel("height [m]")
         axes[0].axhline(cfg.base_height, ls="--", c="k", lw=0.5)
         axes[1].set_ylabel("vx [m/s]")
-        axes[1].axhline(args.velocity, ls="--", c="k", lw=0.5)
+        axes[1].axhline(cfg.desired_velocity[0], ls="--", c="k", lw=0.5)
         axes[2].set_ylabel("vy [m/s]")
         axes[2].set_xlabel("tick (1 kHz)")
         fig.tight_layout()
