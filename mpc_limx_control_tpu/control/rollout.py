@@ -445,3 +445,124 @@ def batched_rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
     return jax.vmap(
         lambda s: rollout(cfg, s, steps, start_iteration, mpc_every))(
         state0)
+
+
+def batched_rollout_resident(cfg: ControllerConfig, state0: PlantState,
+                             steps: int, start_iteration=0,
+                             use_pallas=None):
+    """Batch-LAST device-resident closed loop over the whole-tick fused
+    kernel (ops/tick_fused_pallas.py).
+
+    The kernel consumes and produces the transposed [k, B_pad] layout
+    natively; the batch-first dispatch (plant_step) pays two transposes
+    of ~20 small arrays EVERY tick for API convenience — ~0.1 ms of
+    XLA bookkeeping at B=4096 (tools/prof_tick_stages.py "infra
+    floor").  This rollout transposes once, carries the kernel-native
+    layout through the lax.scan, and untransposes once at the end.
+
+    Semantically identical to batched_rollout(mpc_every=1) on supported
+    configs (asserted by tests/test_tick_fused.py); requires
+    supports_fused_tick(cfg).  `use_pallas` as in make_tick_fused
+    (None = real-TPU autodetect, "interpret" = CPU interpreter).
+    """
+    from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        raise ValueError("batched_rollout_resident needs the Pallas "
+                         "kernel (TPU backend or use_pallas='interpret')")
+    statics, statics_kf, est_kf = tf._tick_statics(cfg)
+    core_kw = dict(statics)
+    core_kw["est_c"] = statics_kf.get("est_c", ())
+    core_kw["interpret"] = use_pallas == "interpret"
+    assert (state0.kf is not None) == est_kf
+
+    dtype = jnp.float32
+    B = state0.xi.shape[0]
+    B_pad = ((B + tf.LANES - 1) // tf.LANES) * tf.LANES
+
+    def pad_t(x):
+        return jnp.transpose(
+            tf._pad_batch(x, B_pad), (1, 0)).astype(dtype)
+
+    xi_t = pad_t(state0.xi)
+    q_t = pad_t(state0.q)
+    fl_t = pad_t(state0.foot_l)
+    fr_t = pad_t(state0.foot_r)
+    zw_t = pad_t(state0.qp_z)
+    yw_t = pad_t(state0.qp_lam)
+    anc0 = (state0.ref_anchor if state0.ref_anchor is not None
+            else state0.xi[:, 3:5])
+    anc_t = pad_t(anc0)
+    vd_t = jnp.tile(jnp.asarray(cfg.desired_velocity, dtype)[:, None],
+                    (1, B_pad))
+    wd_t = jnp.full((1, B_pad), float(cfg.desired_yaw_rate), dtype)
+    kf_carry = ()
+    if est_kf:
+        kf_carry = (pad_t(state0.kf.x_hat),
+                    jnp.transpose(tf._pad_batch(state0.kf.p_cov, B_pad),
+                                  (1, 2, 0)).astype(dtype),
+                    pad_t(state0.prev_v), pad_t(state0.prev_q))
+
+    its = (jnp.arange(steps, dtype=dtype)
+           + jnp.asarray(start_iteration, dtype))
+
+    def step(carry, it):
+        xi_c, q_c, fl_c, fr_c, zw_c, yw_c, anc_c, *kf_c = carry
+        it_t = jnp.full((1, B_pad), it, dtype)
+        outs = tf._fused_tick_core(
+            xi_c, xi_c, q_c, fl_c, fr_c, zw_c, yw_c, anc_c, it_t,
+            vd_t, wd_t, tuple(kf_c) if est_kf else None, **core_kw)
+        (xi_n, q_n, fl_n, fr_n, z_n, y_n, anc_n, res_t, grf_t, tgt_t,
+         *kf_outs) = outs
+        mets = {
+            "height": xi_n[5],                       # [B_pad]
+            "velocity": xi_n[9:12],                  # [3, B_pad]
+            "grf": grf_t,                            # [6, B_pad]
+            "qp_residual": res_t[0],                 # [B_pad]
+            "foot_target": tgt_t,                    # [3, B_pad]
+        }
+        if est_kf:
+            kfx_n, kfp_n = kf_outs
+            # estimate error vs the PRE-step truth (plant_step parity)
+            d = kfx_n[0:3] - xi_c[3:6]
+            mets["est_error"] = jnp.sqrt(jnp.sum(d * d, axis=0))
+            diag12 = jnp.stack([kfp_n[i, i] for i in range(6)], 0)
+            mets["kf_cov_pos"] = diag12[0:3]
+            mets["kf_cov_vel"] = diag12[3:6]
+            new_kf = (kfx_n, kfp_n, xi_c[9:12], q_c)
+        else:
+            mets["est_error"] = jnp.zeros((B_pad,), dtype)
+            new_kf = ()
+        return ((xi_n, q_n, fl_n, fr_n, z_n, y_n, anc_n, *new_kf),
+                mets)
+
+    carry0 = (xi_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, *kf_carry)
+    carry, mstack = lax.scan(step, carry0, its)
+    xi_n, q_n, fl_n, fr_n, z_n, y_n, anc_n, *kf_n = carry
+
+    def unt(a):
+        return jnp.transpose(a, (1, 0))[:B]
+
+    kf_out = prev_v = prev_q = None
+    if est_kf:
+        kfx_n, kfp_n, pv_n, pq_n = kf_n
+        kf_out = state0.kf.replace(
+            x_hat=unt(kfx_n),
+            p_cov=jnp.transpose(kfp_n, (2, 0, 1))[:B])
+        prev_v, prev_q = unt(pv_n), unt(pq_n)
+    final = PlantState(
+        xi=unt(xi_n), q=unt(q_n), foot_l=unt(fl_n), foot_r=unt(fr_n),
+        qp_z=unt(z_n), qp_lam=unt(y_n), kf=kf_out,
+        prev_v=prev_v, prev_q=prev_q,
+        ref_anchor=(unt(anc_n) if state0.ref_anchor is not None
+                    else None))
+
+    # [T, ..., B_pad] -> batched_rollout's [B, T, ...]
+    def unstack(a):
+        perm = (a.ndim - 1,) + tuple(range(a.ndim - 1))
+        return jnp.transpose(a, perm)[:B]
+
+    metrics = {k: unstack(v) for k, v in mstack.items()}
+    return final, metrics

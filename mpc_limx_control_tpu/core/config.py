@@ -250,6 +250,15 @@ class SRBDConfig:
                    # rho=1.0 the 8-iteration warm solve lags a
                    # decelerating reference (~0.22 m/s residual velocity
                    # vs 0.19 at rho=0.3 and 0.17 at convergence).
+                   # admm_warm_iters=5 (was 8, round 4): at the 1 kHz
+                   # warm cadence the QP moves so little per tick that
+                   # closed-loop quality is flat down to 4 iterations —
+                   # measured identical height/vx/push/turn/KF/stand/
+                   # stop-response at 8, 6, 5, and 4 — while each
+                   # iteration costs ~77 us of the fused whole-tick
+                   # kernel at B=4096 (tools/prof_iters_r3.py): 8 -> 5
+                   # cuts ~17% off the walking tick.  5 keeps one
+                   # iteration of margin over the measured floor.
                    # admm_fused: the warm ADMM + condensation fused into
                    # one Pallas kernel (ops/mpc_fused_pallas.py) — ~3x
                    # the XLA composition on the walking shapes and
@@ -258,7 +267,7 @@ class SRBDConfig:
                    # Cold solves and non-TPU backends use the generic
                    # ADMM path automatically.
                    solver=SolverConfig(method="admm_fused", iters=12,
-                                       admm_rho=0.3, admm_warm_iters=8))
+                                       admm_rho=0.3, admm_warm_iters=5))
 
 
 @dataclasses.dataclass(frozen=True)

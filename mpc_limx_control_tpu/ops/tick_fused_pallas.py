@@ -651,6 +651,61 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
     it_t = it[None].astype(f32)
     vd_t = jnp.transpose(v_des, (1, 0)).astype(f32)
     wd_t = yaw_rate[None].astype(f32)
+    kf_t = None
+    if est_kf:
+        kf_t = (jnp.transpose(kf_x, (1, 0)).astype(f32),
+                jnp.transpose(kf_p, (1, 2, 0)).astype(f32),
+                jnp.transpose(prev_v, (1, 0)).astype(f32),
+                jnp.transpose(prev_q, (1, 0)).astype(f32))
+
+    outs = _fused_tick_core(
+        xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, it_t, vd_t,
+        wd_t, kf_t,
+        N=N, iters=iters, rho=rho, alpha=alpha, ts=ts, dt=dt, mass=mass,
+        height_des=height_des, cycle=cycle, swing_t=swing_t,
+        stance_t=stance_t, gait_height=gait_height, p_rel_max=p_rel_max,
+        ground_h=ground_h, k_cap=k_cap, use_capture=use_capture,
+        anchor_band=anchor_band, anchor_gain=anchor_gain, off_l=off_l,
+        off_r=off_r, geom=geom, q_diag=q_diag, r_diag=r_diag,
+        p_diag=p_diag, Gu=Gu, h=h, inertia=inertia, stand=stand,
+        est_c=est_c, interpret=interpret, prof_skip=prof_skip)
+
+    (xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t,
+     *kf_outs) = outs
+    tr = lambda a: jnp.transpose(a, (1, 0))[:B]
+    base = (tr(xi_n), tr(q_n), tr(fl_n), tr(fr_n), tr(z_t), tr(y_t),
+            tr(anc_n), res_t[0, :B], tr(grf_t), tr(tgt_t))
+    if est_kf:
+        kfx_n, kfp_n = kf_outs
+        return base + (tr(kfx_n), jnp.transpose(kfp_n, (2, 0, 1))[:B])
+    return base
+
+
+def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
+                     it_t, vd_t, wd_t, kf_t, *,
+                     N, iters, rho, alpha, ts, dt, mass, height_des,
+                     cycle, swing_t, stance_t, gait_height, p_rel_max,
+                     ground_h, k_cap, use_capture, anchor_band,
+                     anchor_gain, off_l, off_r, geom, q_diag, r_diag,
+                     p_diag, Gu, h, inertia, stand, est_c, interpret,
+                     prof_skip):
+    """Transposed-layout kernel dispatch: every per-lane array is
+    batch-last [k, B_pad] with B_pad a multiple of LANES.  This is the
+    layout the kernel consumes natively — the batch-first wrapper above
+    pays two transposes of ~20 small arrays per tick for API
+    convenience, which the RESIDENT rollout (control/rollout.py:
+    rollout_fused_resident) avoids by carrying this layout through its
+    lax.scan.  kf_t is None or (kf_x [12,B], kf_p [12,12,B], prev_v
+    [3,B], prev_q [6,B]); returns the raw transposed output tuple."""
+    est_kf = kf_t is not None
+    nx = xi_t.shape[0]
+    nu = 6 if stand else 3
+    mu_ = len(Gu)
+    n = N * nu
+    m = N * mu_
+    f32 = jnp.float32
+    B_pad = xi_t.shape[-1]
+    assert B_pad % LANES == 0, B_pad
 
     q_np = np.asarray(q_diag, np.float32)[:, None]
     p_np = np.asarray(p_diag, np.float32)[:, None]
@@ -740,10 +795,7 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
     kf_args = []
     if est_kf:
         in_specs += [spec((12,)), spec((12, 12)), spec((3,)), spec((6,))]
-        kf_args = [jnp.transpose(kf_x, (1, 0)).astype(f32),
-                   jnp.transpose(kf_p, (1, 2, 0)).astype(f32),
-                   jnp.transpose(prev_v, (1, 0)).astype(f32),
-                   jnp.transpose(prev_q, (1, 0)).astype(f32)]
+        kf_args = list(kf_t)
         out_specs += [spec((12,)), spec((12, 12))]
         out_shape += [jax.ShapeDtypeStruct((12, B_pad), f32),
                       jax.ShapeDtypeStruct((12, 12, B_pad), f32)]
@@ -753,7 +805,7 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
             pltpu.VMEM((14, LANES), f32),      # dgk
         ]
 
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -770,16 +822,6 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
       jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np),
       jnp.asarray(iinv_np), *kf_args)
-
-    (xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t,
-     *kf_outs) = outs
-    tr = lambda a: jnp.transpose(a, (1, 0))[:B]
-    base = (tr(xi_n), tr(q_n), tr(fl_n), tr(fr_n), tr(z_t), tr(y_t),
-            tr(anc_n), res_t[0, :B], tr(grf_t), tr(tgt_t))
-    if est_kf:
-        kfx_n, kfp_n = kf_outs
-        return base + (tr(kfx_n), jnp.transpose(kfp_n, (2, 0, 1))[:B])
-    return base
 
 
 def supports_fused_tick(cfg) -> bool:
@@ -819,7 +861,20 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    statics, statics_kf, est_input = _tick_statics(cfg, prof_skip)
+    if est_input and not use_pallas:
+        # the XLA fallback composition reconstructs odometry internally
+        # (truth mode only); KF-mode dispatch requires the kernel
+        raise ValueError("make_tick_fused KF mode needs use_pallas "
+                         "(True or 'interpret')")
+    return _make_tick_step(cfg, statics, statics_kf, est_input,
+                           use_pallas)
 
+
+def _tick_statics(cfg, prof_skip=()):
+    """Compile-time constants of the whole-tick kernel from the config:
+    (statics, statics_kf, est_input).  statics' keys match both
+    fused_walking_tick's static kwargs and _fused_tick_core's."""
     c = cfg.srbd
     N = c.horizon
     stand = cfg.mode == "stand"
@@ -882,11 +937,6 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
         inertia=inertia, stand=stand, prof_skip=tuple(prof_skip))
 
     est_input = cfg.estimator_mode == "kf"
-    if est_input and not use_pallas:
-        # the XLA fallback composition reconstructs odometry internally
-        # (truth mode only); KF-mode dispatch requires the kernel
-        raise ValueError("make_tick_fused KF mode needs use_pallas "
-                         "(True or 'interpret')")
     if est_input:
         e = cfg.estimator
         statics_kf = dict(est_c=(
@@ -900,7 +950,10 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
             float(e.foot_radius)))
     else:
         statics_kf = {}
+    return statics, statics_kf, est_input
 
+
+def _make_tick_step(cfg, statics, statics_kf, est_input, use_pallas):
     def _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
         """Reference composition, batched (off-TPU fallback)."""
         from mpc_limx_control_tpu.control import rollout as ro

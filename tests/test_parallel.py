@@ -161,7 +161,11 @@ def test_fused_tick_kernel_under_sharding(cfg, monkeypatch):
         monkeypatch.delenv("MPC_TPU_FUSED_TICK", raising=False)
 
     # and the fused interpret run must match the UNFUSED composition
+    # (atol: the kernel's exact triangular solves vs the generic ADMM's
+    # explicit f32 K^-1 leave a per-solve gap that the 5 warm
+    # iterations of the round-4 config close less than 8 did — still
+    # ~1e3x under closed-loop tolerance, see test_tick_fused.py)
     unf, _ = jax.jit(jax.vmap(
         lambda s: ro._plant_step_ref(wcfg, s, jnp.asarray(0.0))))(s0)
     np.testing.assert_allclose(np.asarray(sh.xi), np.asarray(unf.xi),
-                               atol=5e-5)
+                               atol=3e-4)

@@ -67,14 +67,18 @@ def test_tick_fused_matches_composition_one_step():
     st_r, m_r = _run_ref(cfg, s, its, v_des)
     st_f, m_f = _run_fused(cfg, s, its, v_des)
 
+    # xi atol: the kernel's exact triangular solves vs the generic
+    # ADMM's explicit f32 K^-1 leave a per-solve control gap that the
+    # round-4 5-iteration warm budget closes less than 8 iterations did
+    # (measured 2e-4 worst element; closed-loop tolerance is ~1e-1)
     np.testing.assert_allclose(np.asarray(st_f.xi), np.asarray(st_r.xi),
-                               atol=5e-5)
+                               atol=3e-4)
     np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q),
-                               atol=1e-4)
+                               atol=5e-4)
     np.testing.assert_allclose(np.asarray(st_f.foot_l),
-                               np.asarray(st_r.foot_l), atol=1e-4)
+                               np.asarray(st_r.foot_l), atol=5e-4)
     np.testing.assert_allclose(np.asarray(st_f.foot_r),
-                               np.asarray(st_r.foot_r), atol=1e-4)
+                               np.asarray(st_r.foot_r), atol=5e-4)
     np.testing.assert_allclose(np.asarray(m_f["foot_target"]),
                                np.asarray(m_r["foot_target"]), atol=1e-5)
     # the reference anchor must thread identically (integral placement
@@ -260,3 +264,42 @@ def test_tick_fused_stand_kf_matches_composition(monkeypatch):
                                np.asarray(s_r.kf.p_cov), atol=1e-5)
     np.testing.assert_allclose(np.asarray(m_f["grf"]),
                                np.asarray(m_r["grf"]), atol=2e-1)
+
+
+@pytest.mark.parametrize("est", ["truth", "kf"])
+def test_resident_rollout_matches_plant_step_scan(monkeypatch, est):
+    """batched_rollout_resident (batch-last carry, one transpose per
+    rollout) must reproduce the plant_step-dispatch scan (transposes
+    every tick) exactly — identical kernel invocations, layout only."""
+    monkeypatch.setenv("MPC_TPU_FUSED_TICK", "interpret")
+    cfg = dataclasses.replace(ControllerConfig.walking(),
+                              estimator_mode=est)
+    B, T = 2, 4
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+        0.05 * jax.random.normal(jax.random.PRNGKey(9), (B,),
+                                 jnp.float32)))
+    assert ro._use_fused_tick(cfg, s0)
+
+    f_ref, m_ref = ro.batched_rollout(cfg, s0, T)
+    f_res, m_res = ro.batched_rollout_resident(cfg, s0, T,
+                                               use_pallas="interpret")
+
+    np.testing.assert_allclose(np.asarray(f_res.xi), np.asarray(f_ref.xi),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_res.q), np.asarray(f_ref.q),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_res.qp_z),
+                               np.asarray(f_ref.qp_z), atol=1e-6)
+    for k in ("height", "velocity", "grf", "qp_residual", "foot_target",
+              "est_error"):
+        np.testing.assert_allclose(np.asarray(m_res[k]),
+                                   np.asarray(m_ref[k]), atol=1e-6,
+                                   err_msg=k)
+    if est == "kf":
+        np.testing.assert_allclose(np.asarray(f_res.kf.x_hat),
+                                   np.asarray(f_ref.kf.x_hat), atol=1e-6)
+        for k in ("kf_cov_pos", "kf_cov_vel"):
+            np.testing.assert_allclose(np.asarray(m_res[k]),
+                                       np.asarray(m_ref[k]), atol=1e-6,
+                                       err_msg=k)
