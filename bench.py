@@ -202,11 +202,30 @@ def quality_gate(skip_kf: bool = False) -> dict:
                                and abs(kpv[-300:, 1].mean()) < 0.2
                                and not np.isnan(kph).any()
                                and np.isfinite(kpcov).all())
+
+        # -- standing + KF: the in-kernel filter with both-feet contact
+        # gating, closed loop (the smoke only proves compile+run)
+        kscfg = dataclasses.replace(scfg, estimator_mode="kf")
+        ks0 = ro.initial_plant_state(kscfg)
+        ks0 = ks0.replace(xi=ks0.xi.at[10].add(0.05))
+        _q("kf standing")
+        _, ksm = jax.jit(lambda s: ro.rollout(kscfg, s, 1200))(ks0)
+        ksh = np.asarray(ksm["height"])
+        kscov = np.asarray(ksm["kf_cov_pos"])
+        q["kf_stand_height_mean"] = round(float(ksh[-300:].mean()), 4)
+        # the filter's foot-radius z bias settles the estimated height
+        # ~2 cm low (0.631 measured); gate on upright + stable, not on
+        # the truth-mode band
+        q["kf_stand_ok"] = bool(abs(ksh[-300:].mean() - 0.65) < 0.04
+                                and ksh.min() > 0.6
+                                and not np.isnan(ksh).any()
+                                and np.isfinite(kscov).all())
     q["ok"] = bool(q["walk_ok"] and q["turn_ok"] and q["push_ok"]
                    and q["terrain_ok"] and q["stand_ok"]
                    and q.get("kf_ok", True)
                    and q.get("kf_turn_ok", True)
-                   and q.get("kf_push_ok", True))
+                   and q.get("kf_push_ok", True)
+                   and q.get("kf_stand_ok", True))
     return q
 
 
