@@ -328,6 +328,20 @@ def main():
         t, _ = _batched_tick_time(cfg2, st0)
         return b2 / t
 
+    # dtMPC-scheduled throughput (the reference's ACTUAL operating
+    # mode, include/MPCParam.h:46-47: re-solve every mpcStep = 5 ticks,
+    # hold the force in between) — held ticks run the no-MPC HOLD
+    # variant of the whole-tick kernel
+    _progress("dtMPC-schedule slope...")
+
+    def _mk_dtmpc(K):
+        f = jax.jit(lambda s: ro.batched_rollout(
+            cfg, s, 5 * K, mpc_every=5)[0])
+        return lambda: f(state0)
+
+    dtmpc_tick, _ = _scan_slope(_mk_dtmpc)
+    dtmpc_tput = batch / (dtmpc_tick / 5.0)
+
     from mpc_limx_control_tpu.core.config import ControllerConfig as _CC
     _progress("standing batched slope...")
     stand_tput = _cfg_throughput(_CC.standing())
@@ -374,6 +388,7 @@ def main():
         "dispatch_within_5ms_budget": dispatch_p50 <= DT_MPC_BUDGET_S,
         "stand_solves_per_s": round(stand_tput, 1),
         "kf_solves_per_s": round(kf_tput, 1),
+        "dtmpc_ticks_per_s": round(dtmpc_tput, 1),
         "quality": quality,
         "device": str(dev),
     }))

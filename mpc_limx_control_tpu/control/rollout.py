@@ -126,11 +126,13 @@ import functools
 import os
 
 
-@functools.lru_cache(maxsize=8)
-def _fused_tick_fn(cfg: ControllerConfig, mode: str = "1"):
+@functools.lru_cache(maxsize=16)
+def _fused_tick_fn(cfg: ControllerConfig, mode: str = "1",
+                   hold: bool = False):
     from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
     return tf.make_tick_fused(
-        cfg, use_pallas="interpret" if mode == "interpret" else None)
+        cfg, use_pallas="interpret" if mode == "interpret" else None,
+        hold=hold)
 
 
 def _use_fused_tick(cfg: ControllerConfig, state: PlantState) -> bool:
@@ -196,7 +198,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
     On TPU, configs matching the whole-tick fused kernel's closed form
     (walk / truth odometry / analytic IK / warm admm_fused) run the
     ENTIRE tick as one Pallas program — see ops/tick_fused_pallas.py."""
-    if grf_override is None and _use_fused_tick(cfg, state):
+    if _use_fused_tick(cfg, state):
         dtype = state.xi.dtype
         vd = (jnp.asarray(cfg.desired_velocity, dtype) if v_des is None
               else jnp.asarray(v_des, dtype))
@@ -204,7 +206,15 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         it = jnp.asarray(iteration, dtype)
         anc = (state.ref_anchor if state.ref_anchor is not None
                else state.xi[..., 3:5])
-        fn = _fused_tick_fn(cfg, os.environ.get("MPC_TPU_FUSED_TICK", "1"))
+        hold = grf_override is not None
+        # held dtMPC ticks (grf_override) run the HOLD variant of the
+        # whole-tick kernel: no MPC solve, the held force applied to
+        # the current stance foot — the unfused composition's ~100
+        # small-op tick made holding SLOWER than re-solving fused
+        hold_args = (grf_override,) if hold else ()
+        fn = _fused_tick_fn(cfg,
+                            os.environ.get("MPC_TPU_FUSED_TICK", "1"),
+                            hold=hold)
         if cfg.estimator_mode == "kf":
             # the 12-state filter runs IN-KERNEL (sensor synthesis,
             # contact-gated predict/update, covariance conditioning);
@@ -212,7 +222,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
             (xi, q, fl, fr, z, y, anc_n, res, grf, tgt,
              kf_x, kf_p) = fn(
                 state.xi, state.q, state.foot_l, state.foot_r,
-                state.qp_z, state.qp_lam, anc, it, vd, wd,
+                state.qp_z, state.qp_lam, anc, it, vd, wd, *hold_args,
                 state.kf.x_hat, state.kf.p_cov,
                 state.prev_v, state.prev_q)
             kf_new = KFState(x_hat=kf_x, p_cov=kf_p)
@@ -228,7 +238,7 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         else:
             xi, q, fl, fr, z, y, anc_n, res, grf, tgt = fn(
                 state.xi, state.q, state.foot_l, state.foot_r,
-                state.qp_z, state.qp_lam, anc, it, vd, wd)
+                state.qp_z, state.qp_lam, anc, it, vd, wd, *hold_args)
             kf_new = None
             new_state = PlantState(xi=xi, q=q, foot_l=fl, foot_r=fr,
                                    qp_z=z, qp_lam=y, kf=None,

@@ -136,17 +136,20 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  k_cap: float, use_capture: bool, anchor_band: float,
                  anchor_gain: float,
                  off_l: tuple, off_r: tuple, geom: tuple,
-                 stand: bool, est_kf: bool, est_c: tuple,
+                 stand: bool, est_kf: bool, est_c: tuple, hold: bool,
                  # refs (inputs):
                  xi_ref, xe_ref, q_ref, fl_ref, fr_ref, zw_ref, yw_ref,
                  anc_ref, it_ref, vdes_ref, wdes_ref,
                  qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
                  iinv_ref,
-                 # with est_kf: +4 inputs (kfx, kfP, prev_v, prev_q),
-                 # +2 outputs (kfx', kfP'), +3 scratch (Skf, Xk, dgk) —
-                 # parsed from *rest in pallas positional order
+                 # with hold: +1 input (grf_held [6]); with est_kf:
+                 # +4 inputs (kfx, kfP, prev_v, prev_q), +2 outputs
+                 # (kfx', kfP'), +3 scratch (Skf, Xk, dgk) — parsed from
+                 # *rest in pallas positional order
                  *rest,
                  prof_skip=()):
+    rest = list(rest)
+    grf_in = rest.pop(0) if hold else None
     if est_kf:
         (kfx_in, kfp_in, pvel_in, pq_in,
          xi_out, q_out, fl_out, fr_out, z_out, y_out, anc_out,
@@ -461,9 +464,20 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         swing_q = q_guess if "ik" in prof_skip \
             else ik_leg(next_b, q_guess, mir_sw)
 
+    # ---- 5/6 (hold): the dtMPC held-force tick — NO MPC solve ---------
+    # (controller.tick's grf_override path, include/MPCParam.h:46-47:
+    # the held force belongs to the foot NOW in stance; warm QP state
+    # passes through untouched)
+    if hold:
+        z_out[:] = zw_ref[:]
+        y_out[:] = yw_ref[:]
+        res_out[:] = jnp.zeros((1, L), f32)
+
     # ---- 5. contact schedule + moment arms over the horizon -----------
     # (control/gait.py:contact_schedule; arms per controller.tick:364-374)
-    if stand:
+    if hold:
+        pass
+    elif stand:
         # both feet in stance for the whole horizon, arms step-invariant
         # (controller.tick's mode == "stand" branch): the MPC pushes the
         # COM over the support midpoint (stance_mpc's pos_anchor)
@@ -479,16 +493,17 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                 arms_s[k] = jnp.where(on_k, arm_l, arm_r)
 
     # ---- 6. the fused MPC solve (re-entering _prep_mpc) ---------------
-    _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
-              xe,
-              (lambda k: arms2) if stand else (lambda k: arms_s[k]),
-              vdes, wdes, iinv_ref[:],
-              zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
-              gmat_ref, gmt_ref, h_ref,
-              z_out, y_out, res_out, None,
-              S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=anchor_mpc if stand else anc_used,
-              prof_skip=prof_skip, two_feet=stand)
+    if not hold:
+        _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass,
+                  height_des, xe,
+                  (lambda k: arms2) if stand else (lambda k: arms_s[k]),
+                  vdes, wdes, iinv_ref[:],
+                  zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
+                  gmat_ref, gmt_ref, h_ref,
+                  z_out, y_out, res_out, None,
+                  S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
+                  anchor=anchor_mpc if stand else anc_used,
+                  prof_skip=prof_skip, two_feet=stand)
 
     # ---- 7. GRF split + exact-ZOH SRBD plant step ---------------------
     # (controller.tick grf packing + models/srbd.py:srbd_step_vector)
@@ -499,7 +514,18 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         fr_out[:] = fr
         grf_out[:] = jnp.zeros((6, L), f32)
         return
-    if stand:
+    if hold and stand:
+        f_l = grf_in[0:3]
+        f_r = grf_in[3:6]
+    elif hold:
+        # the held force belongs to the foot NOW in stance (the gait
+        # phase may have switched since the solve) —
+        # controller.tick:429-438
+        f_any = grf_in[0:3] + grf_in[3:6]
+        on0 = 1.0 - ls                                    # left stance now
+        f_l = f_any * on0
+        f_r = f_any * ls
+    elif stand:
         f_l = z_out[0:3]
         f_r = z_out[3:6]
     else:
@@ -587,7 +613,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                      "prof_skip"))
 def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
                        anchor, it, v_des, yaw_rate,
-                       kf_x=None, kf_p=None, prev_v=None, prev_q=None, *,
+                       kf_x=None, kf_p=None, prev_v=None, prev_q=None,
+                       grf_held=None, *,
                        N: int, iters: int, rho: float, alpha: float,
                        ts: float, dt: float, mass: float,
                        height_des: float, cycle: float, swing_t: float,
@@ -611,6 +638,11 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
     12-state Kalman filter runs IN-KERNEL (est_kf): sensors synthesized
     from the plant truth, posterior estimate drives the control stack
     (xi_est is then ignored), and the outputs gain (kf_x', kf_p').
+
+    With grf_held [B,6] the tick is the dtMPC HELD-force variant
+    (controller.tick's grf_override path): no MPC solve — gait, swing
+    tracking, KF, and the plant step run with the held force applied to
+    the current stance foot; z/y pass through, residual is 0.
     """
     est_kf = kf_x is not None
     B = xi.shape[0]
@@ -639,6 +671,10 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
         kf_p = _pad_batch(kf_p, B_pad)
         prev_v = _pad_batch(prev_v, B_pad)
         prev_q = _pad_batch(prev_q, B_pad)
+    grf_t = None
+    if grf_held is not None:
+        grf_t = jnp.transpose(
+            _pad_batch(grf_held, B_pad), (1, 0)).astype(jnp.float32)
 
     xi_t = jnp.transpose(xi, (1, 0)).astype(f32)
     xe_t = jnp.transpose(xi_est, (1, 0)).astype(f32)
@@ -668,7 +704,8 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
         anchor_band=anchor_band, anchor_gain=anchor_gain, off_l=off_l,
         off_r=off_r, geom=geom, q_diag=q_diag, r_diag=r_diag,
         p_diag=p_diag, Gu=Gu, h=h, inertia=inertia, stand=stand,
-        est_c=est_c, interpret=interpret, prof_skip=prof_skip)
+        est_c=est_c, interpret=interpret, prof_skip=prof_skip,
+        grf_t=grf_t)
 
     (xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t,
      *kf_outs) = outs
@@ -688,7 +725,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
                      ground_h, k_cap, use_capture, anchor_band,
                      anchor_gain, off_l, off_r, geom, q_diag, r_diag,
                      p_diag, Gu, h, inertia, stand, est_c, interpret,
-                     prof_skip):
+                     prof_skip, grf_t=None):
     """Transposed-layout kernel dispatch: every per-lane array is
     batch-last [k, B_pad] with B_pad a multiple of LANES.  This is the
     layout the kernel consumes natively — the batch-first wrapper above
@@ -698,6 +735,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
     lax.scan.  kf_t is None or (kf_x [12,B], kf_p [12,12,B], prev_v
     [3,B], prev_q [6,B]); returns the raw transposed output tuple."""
     est_kf = kf_t is not None
+    hold = grf_t is not None
     nx = xi_t.shape[0]
     nu = 6 if stand else 3
     mu_ = len(Gu)
@@ -726,7 +764,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         float(p_rel_max), float(ground_h), float(k_cap), bool(use_capture),
         float(anchor_band), float(anchor_gain),
         tuple(off_l), tuple(off_r), tuple(geom),
-        bool(stand), bool(est_kf), tuple(est_c),
+        bool(stand), bool(est_kf), tuple(est_c), bool(hold),
         prof_skip=tuple(prof_skip))
 
     grid = (B_pad // LANES,)
@@ -791,7 +829,12 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         pltpu.VMEM((N, 3, LANES), f32),        # arms_s
     ]
     # kernel positional ref order: 11 per-lane inputs, 7 const inputs,
-    # then (est_kf only) the 4 filter inputs, outputs, scratch
+    # then (hold only) the held GRF, then (est_kf only) the 4 filter
+    # inputs, outputs, scratch
+    hold_args = []
+    if hold:
+        in_specs += [spec((6,))]
+        hold_args = [grf_t]
     kf_args = []
     if est_kf:
         in_specs += [spec((12,)), spec((12, 12)), spec((3,)), spec((6,))]
@@ -821,7 +864,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
     )(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t, it_t, vd_t, wd_t,
       jnp.asarray(q_np), jnp.asarray(p_np), jnp.asarray(dblk_np),
       jnp.asarray(gmat_np), jnp.asarray(gmat_np.T), jnp.asarray(h_np),
-      jnp.asarray(iinv_np), *kf_args)
+      jnp.asarray(iinv_np), *hold_args, *kf_args)
 
 
 def supports_fused_tick(cfg) -> bool:
@@ -845,7 +888,7 @@ def supports_fused_tick(cfg) -> bool:
             and cfg.placement_mode in ("capture", "reference"))
 
 
-def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
+def make_tick_fused(cfg, use_pallas=None, prof_skip=(), hold=False):
     """Whole-tick stepper from the full controller config:
     fn(xi, q, foot_l, foot_r, z, y, anc, it, v_des, yaw_rate) — one
     simulation tick per scenario (vmap for batches).  For
@@ -868,7 +911,7 @@ def make_tick_fused(cfg, use_pallas=None, prof_skip=()):
         raise ValueError("make_tick_fused KF mode needs use_pallas "
                          "(True or 'interpret')")
     return _make_tick_step(cfg, statics, statics_kf, est_input,
-                           use_pallas)
+                           use_pallas, hold=hold)
 
 
 def _tick_statics(cfg, prof_skip=()):
@@ -953,56 +996,57 @@ def _tick_statics(cfg, prof_skip=()):
     return statics, statics_kf, est_input
 
 
-def _make_tick_step(cfg, statics, statics_kf, est_input, use_pallas):
-    def _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
+def _make_tick_step(cfg, statics, statics_kf, est_input, use_pallas,
+                    hold=False):
+    def _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate,
+                     grf=None):
         """Reference composition, batched (off-TPU fallback)."""
         from mpc_limx_control_tpu.control import rollout as ro
 
-        def one(xi1, q1, fl1, fr1, z1, y1, anc1, it1, vd1):
+        def one(xi1, q1, fl1, fr1, z1, y1, anc1, it1, vd1, *g1):
             st = ro.PlantState(xi=xi1, q=q1, foot_l=fl1, foot_r=fr1,
                                qp_z=z1, qp_lam=y1, ref_anchor=anc1)
-            st2, mets = ro._plant_step_ref(cfg, st, it1, v_des=vd1)
+            st2, mets = ro._plant_step_ref(
+                cfg, st, it1, v_des=vd1,
+                grf_override=g1[0] if g1 else None)
             return (st2.xi, st2.q, st2.foot_l, st2.foot_r,
                     st2.qp_z, st2.qp_lam, st2.ref_anchor,
                     mets["qp_residual"], mets["grf"],
                     mets["foot_target"])
 
         del yaw_rate  # the composition reads cfg.desired_yaw_rate
-        return jax.vmap(one)(xi, q, fl, fr, z, y, anc, it, v_des)
+        if grf is None:
+            return jax.vmap(one)(xi, q, fl, fr, z, y, anc, it, v_des)
+        return jax.vmap(one)(xi, q, fl, fr, z, y, anc, it, v_des, grf)
 
     def _call_batched(args):
-        """args = (xi, q, fl, fr, z, y, anc, it, v_des, w [, kf_x, kf_p,
-        prev_v, prev_q])."""
-        xi, q, fl, fr, z, y, anc, it, v_des, w, *kf = args
+        """args = (xi, q, fl, fr, z, y, anc, it, v_des, w [, grf]
+        [, kf_x, kf_p, prev_v, prev_q])."""
+        xi, q, fl, fr, z, y, anc, it, v_des, w, *rest = args
+        grf = rest.pop(0) if hold else None
+        kf = rest
         if est_input:
             return fused_walking_tick(
                 xi, xi, q, fl, fr, z, y, anc, it, v_des, w, *kf,
-                **statics, **statics_kf,
+                grf_held=grf, **statics, **statics_kf,
                 interpret=use_pallas == "interpret")
         if use_pallas:
             return fused_walking_tick(
-                xi, xi, q, fl, fr, z, y, anc, it, v_des, w, **statics,
+                xi, xi, q, fl, fr, z, y, anc, it, v_des, w,
+                grf_held=grf, **statics,
                 interpret=use_pallas == "interpret")
-        return _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, w)
+        return _xla_batched(xi, q, fl, fr, z, y, anc, it, v_des, w,
+                            grf=grf)
 
-    if est_input:
-        @jax.custom_batching.custom_vmap
-        def step(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate,
-                 kf_x, kf_p, prev_v, prev_q):
-            outs = _call_batched(tuple(
-                a[None] for a in (xi, q, fl, fr, z, y, anc, it,
-                                  v_des, yaw_rate, kf_x, kf_p,
-                                  prev_v, prev_q)))
-            return tuple(o[0] for o in outs)
-    else:
-        @jax.custom_batching.custom_vmap
-        def step(xi, q, fl, fr, z, y, anc, it, v_des, yaw_rate):
-            # single-scenario deployment shape (the 1 kHz real-time loop):
-            # one 128-lane kernel instance beats ~100 small XLA ops
-            outs = _call_batched(tuple(
-                a[None] for a in (xi, q, fl, fr, z, y, anc, it, v_des,
-                                  yaw_rate)))
-            return tuple(o[0] for o in outs)
+    n_in = 10 + (1 if hold else 0) + (4 if est_input else 0)
+
+    @jax.custom_batching.custom_vmap
+    def step(*args):
+        # single-scenario deployment shape (the 1 kHz real-time loop):
+        # one 128-lane kernel instance beats ~100 small XLA ops
+        assert len(args) == n_in, (len(args), n_in)
+        outs = _call_batched(tuple(a[None] for a in args))
+        return tuple(o[0] for o in outs)
 
     @step.def_vmap
     def _rule(axis_size, in_batched, *args):

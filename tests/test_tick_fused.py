@@ -24,6 +24,20 @@ from mpc_limx_control_tpu.control import rollout as ro
 from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
 
 
+@pytest.fixture(autouse=True)
+def _free_compile_memory():
+    """Every test here compiles 1-2 GB of interpret-mode Pallas kernels
+    (measured); without freeing them the accumulated XLA executables
+    abort the full-suite process near the end of this module.  Drop the
+    step-function lru cache (which pins compiled callables) and JAX's
+    compilation caches after each test."""
+    yield
+    import gc
+    ro._fused_tick_fn.cache_clear()
+    jax.clear_caches()
+    gc.collect()
+
+
 def _states(B, key, cfg):
     s0 = ro.initial_plant_state(cfg, batch=(B,))
     k1, k2, k3 = jax.random.split(key, 3)
@@ -303,3 +317,47 @@ def test_resident_rollout_matches_plant_step_scan(monkeypatch, est):
             np.testing.assert_allclose(np.asarray(m_res[k]),
                                        np.asarray(m_ref[k]), atol=1e-6,
                                        err_msg=k)
+
+
+def test_fused_hold_tick_matches_composition(monkeypatch):
+    """The dtMPC schedule (solve every 5th tick, hold in between) with
+    the HOLD variant of the whole-tick kernel vs the unfused
+    composition: 10 consecutive ticks (2 solve + 8 hold)."""
+    cfg = ControllerConfig.walking()
+    B = 2
+    s0 = _states(B, jax.random.PRNGKey(11), cfg)
+    its0 = jnp.asarray([5.0, 210.0], jnp.float32)
+
+    def run(env):
+        monkeypatch.setenv("MPC_TPU_FUSED_TICK", env)
+        s = s0
+        grf = None
+        ms = []
+        for j in range(10):
+            its = its0 + float(j)
+            if j % 5 == 0:
+                s, m = jax.vmap(
+                    lambda s1, it1: ro.plant_step(cfg, s1, it1))(s, its)
+                grf = m["grf"]
+            else:
+                s, m = jax.vmap(
+                    lambda s1, it1, g1: ro.plant_step(
+                        cfg, s1, it1, grf_override=g1))(s, its, grf)
+            ms.append(m)
+        return s, ms
+
+    s_r, m_r = run("0")            # unfused composition
+    s_f, m_f = run("interpret")    # fused solve + fused HOLD kernels
+
+    np.testing.assert_allclose(np.asarray(s_f.xi), np.asarray(s_r.xi),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.q), np.asarray(s_r.q),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_f.foot_l),
+                               np.asarray(s_r.foot_l), atol=1e-3)
+    # held ticks: identical grf passthrough, zero residual
+    for j in (1, 2, 6, 7):
+        np.testing.assert_allclose(np.asarray(m_f[j]["grf"]),
+                                   np.asarray(m_r[j]["grf"]), atol=2e-1)
+        assert float(np.abs(np.asarray(m_f[j]["qp_residual"])).max()) \
+            == 0.0

@@ -93,6 +93,22 @@ def main():
                 dataclasses.replace(ControllerConfig.walking(),
                                     estimator_mode="kf"))
 
+    # 2b. dtMPC HOLD variant: one solve tick + one held tick (the
+    # grf_override path dispatches the no-MPC hold kernel)
+    from mpc_limx_control_tpu.control import rollout as _ro
+    cfg_h = ControllerConfig.walking()
+    sh = _ro.initial_plant_state(cfg_h, batch=(256,))
+    t0 = time.perf_counter()
+    its = jnp.zeros((256,), jnp.float32)
+    sh, mh = jax.vmap(lambda s, it: _ro.plant_step(cfg_h, s, it))(sh, its)
+    sh, mh2 = jax.vmap(
+        lambda s, it, g: _ro.plant_step(cfg_h, s, it, grf_override=g))(
+        sh, its + 1.0, mh["grf"])
+    _finite("hold tick", sh.xi, sh.q, mh2["grf"])
+    assert float(np.abs(np.asarray(mh2["qp_residual"])).max()) == 0.0
+    print(f"  ok {'walking dtMPC hold kernel':34s} "
+          f"({time.perf_counter() - t0:6.1f}s compile+run, B=256)")
+
     # 3. standing: whole-tick stand kernel when supported (truth AND
     # in-kernel-KF variants), else the two-foot fused QP session path
     from mpc_limx_control_tpu.control import rollout as ro
