@@ -144,12 +144,17 @@ def double_integrator_matrices(variant="qpsolver_test"):
 
 
 def run_closed_loop(steps=500, ts=0.01, N=15, x0=(2.0, 0.0, 0.0, 0.0),
-                    use_state_constraints=True, tol=1e-10):
+                    use_state_constraints=True, tol=1e-10, solver=None):
     """The full 500-step circle-tracking loop (src/qpSolver_test.cpp:38-75).
 
     Returns dict with arrays: states [steps+1, 4], controls [steps, 2],
     errors [steps] (position tracking error, printed by the reference at
     src/qpSolver_test.cpp:84-89).
+
+    `solver(H, f, G, h) -> (z, lam, info)` defaults to the float64 IPM
+    oracle; pass oracle.qp_active_set.solve_qp_active_set to drive the
+    loop with the independent dense active-set method (the reference's
+    qpOASES algorithm family) instead.
     """
     Ac, Bc = double_integrator_matrices()
     Ad, Bd = zoh_discretize(Ac, Bc, ts)
@@ -169,7 +174,10 @@ def run_closed_loop(steps=500, ts=0.01, N=15, x0=(2.0, 0.0, 0.0, 0.0),
             Ad, Bd, Q, R, P, N, x, x_ref, -8.0, 8.0,
             x_min if use_state_constraints else None,
             x_max if use_state_constraints else None)
-        z, _, _ = solve_qp_oracle(H, f, G, h, tol=tol)
+        if solver is None:
+            z, _, _ = solve_qp_oracle(H, f, G, h, tol=tol)
+        else:
+            z, _, _ = solver(H, f, G, h)
         u = z[:2]
         x = Ad @ x + Bd @ u
         states.append(x.copy())
