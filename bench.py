@@ -52,17 +52,19 @@ def quality_gate(skip_kf: bool = False) -> dict:
       the commanded 0.65, mean vx over the final full gait cycle within
       0.05 m/s of the commanded 0.5 (the anchor integral action holds
       0.500; the band was +/-0.15 before round 3), no NaN;
-    * turning (yaw_rate = 0.3, 1500 ticks): height floor, yaw progress;
+    * turning (yaw_rate = 0.3, 1500 ticks): height floor, yaw within 10%
+      of the commanded 0.45 rad (round 5 — yaw-anchor integral action);
     * push recovery (0.3 m/s lateral shove at tick 600): height floor,
       velocity recovery within 0.9 s;
     * terrain (ground_height = 0.15): height tracks ground + 0.65;
     * standing (2000 ticks, lateral vy kick — the recoverable axis for
       collinear point feet; see the in-code physics note): height
       within 0.01 m of 0.65;
-    * KF-in-loop (1200 ticks): height floor > 0.55, finite covariance;
-    * KF + turning and KF + push: the contact-gated filter under gait
-      perturbation (round 4 — the estimator was previously only gated
-      on straight-line walking).
+    * KF-in-loop (3000 ticks): height floor > 0.6, |vx - 0.5| < 0.05,
+      finite covariance, plus est_deg_* fields tracking the
+      estimator-induced degradation vs the truth path (round 5);
+    * KF + turning (yaw within 10% of 0.36 rad) and KF + push (floor
+      0.6): the contact-gated filter under gait perturbation.
     """
     import dataclasses
     from mpc_limx_control_tpu.core.config import ControllerConfig
@@ -87,13 +89,18 @@ def quality_gate(skip_kf: bool = False) -> dict:
     nan_free = not (np.isnan(h).any() or np.isnan(vx).any())
     q = {
         "walk_height_mean": round(height_mean, 4),
+        "walk_height_min": round(float(h[:, -600:].min()), 4),
         "walk_vx_mean": round(vx_mean, 4),
         "walk_nan_free": nan_free,
         "walk_ok": bool(nan_free and abs(height_mean - 0.65) < 0.02
                         and abs(vx_mean - 0.5) < 0.05),
     }
 
-    # -- turning (tests/test_robustness.py:test_turning_walk, on chip)
+    # -- turning (tests/test_robustness.py:test_turning_walk, on chip).
+    # Gate: |yaw error| <= 10% of the commanded 0.3 rad/s x 1.5 s = 0.45
+    # rad (round 5 — the yaw anchor integral action tracks 98%; the
+    # receding reference tracked 76% behind a 0.15..0.6 gate that never
+    # measured the error as an error, VERDICT r4 weak #1).
     tcfg = dataclasses.replace(cfg, desired_yaw_rate=0.3)
     t0 = ro.initial_plant_state(tcfg)
     _q("turning")
@@ -102,7 +109,8 @@ def quality_gate(skip_kf: bool = False) -> dict:
     tyaw = float(np.asarray(tf_.xi)[2])
     q["turn_height_min"] = round(float(th.min()), 4)
     q["turn_yaw"] = round(tyaw, 4)
-    q["turn_ok"] = bool(th.min() > 0.5 and 0.15 < tyaw < 0.6
+    q["turn_yaw_frac"] = round(tyaw / 0.45, 4)
+    q["turn_ok"] = bool(th.min() > 0.5 and abs(tyaw - 0.45) <= 0.045
                         and not np.isnan(th).any())
 
     # -- push recovery (lateral shove, tests/test_robustness.py)
@@ -153,22 +161,36 @@ def quality_gate(skip_kf: bool = False) -> dict:
                          and not np.isnan(sh).any())
 
     if not skip_kf:
+        # -- KF straight (3000 ticks — the 1200-tick gate of rounds 3-4
+        # hid a slow touchdown-sink divergence that only crossed the
+        # height floor after ~2500 ticks; fixed round 5 by the rigid-
+        # ground clamp in the plant, and the gate now runs past where it
+        # diverged AND measures velocity tracking, which the old gate
+        # didn't check at all — VERDICT r4 weak #3).
         kcfg = dataclasses.replace(cfg, estimator_mode="kf")
         k0 = ro.initial_plant_state(kcfg)
-        _q("kf straight")
-        _, km = jax.jit(lambda s: ro.rollout(kcfg, s, 1200))(k0)
+        _q("kf straight 3000")
+        _, km = jax.jit(lambda s: ro.rollout(kcfg, s, 3000))(k0)
         kh = np.asarray(km["height"])
+        kv = np.asarray(km["velocity"])
         cov = np.asarray(km["kf_cov_pos"])
+        kf_vx = float(kv[-600:, 0].mean())
         q["kf_height_min"] = round(float(kh.min()), 4)
+        q["kf_vx_mean"] = round(kf_vx, 4)
         q["kf_nan_free"] = bool(not np.isnan(kh).any())
         q["kf_cov_pos_final"] = round(float(cov[-1].mean()), 6)
-        q["kf_ok"] = bool(q["kf_nan_free"] and kh.min() > 0.55
+        # estimator-induced degradation vs the truth path, as first-class
+        # tracked numbers (VERDICT r4 next #4)
+        q["est_deg_vx"] = round(kf_vx - vx_mean, 4)
+        q["est_deg_height"] = round(float(kh[-600:].mean()) - height_mean,
+                                    4)
+        q["kf_ok"] = bool(q["kf_nan_free"] and kh.min() > 0.6
+                          and abs(kf_vx - 0.5) < 0.05
                           and np.isfinite(cov).all())
 
         # -- KF + turning: contact-gated estimation under gait
-        # perturbation (the filter was only ever gated on straight-line
-        # walking; gating errors surface exactly when the schedule is
-        # stressed — include/stateEstimator.h:260-279)
+        # perturbation.  Yaw gate: within 10% of the commanded
+        # 0.3 rad/s x 1.2 s = 0.36 rad (round 5; measured 0.3366)
         ktcfg = dataclasses.replace(kcfg, desired_yaw_rate=0.3)
         kt0 = ro.initial_plant_state(ktcfg)
         _q("kf turning")
@@ -178,12 +200,17 @@ def quality_gate(skip_kf: bool = False) -> dict:
         ktyaw = float(np.asarray(ktf.xi)[2])
         q["kf_turn_height_min"] = round(float(kth.min()), 4)
         q["kf_turn_yaw"] = round(ktyaw, 4)
-        q["kf_turn_ok"] = bool(kth.min() > 0.55 and 0.1 < ktyaw < 0.55
+        q["kf_turn_yaw_frac"] = round(ktyaw / 0.36, 4)
+        q["kf_turn_ok"] = bool(kth.min() > 0.6
+                               and abs(ktyaw - 0.36) <= 0.036
                                and not np.isnan(kth).any()
                                and np.isfinite(ktcov).all())
 
         # -- KF + push recovery: lateral shove with the estimator in the
-        # loop (filter transient + recovery)
+        # loop.  Height floor 0.6 (was 0.5): with the rigid-ground clamp
+        # the estimator no longer degrades the disturbance response —
+        # measured 0.6447 vs the truth path's 0.6437 (round 5; r4
+        # measured 0.5811 behind a 0.5 gate, VERDICT weak #3)
         _q("kf push")
         kp1, kpm1 = jax.jit(lambda s: ro.rollout(kcfg, s, 600))(k0)
         kpushed = kp1.replace(
@@ -197,7 +224,9 @@ def quality_gate(skip_kf: bool = False) -> dict:
         kpv = np.asarray(kpm2["velocity"])
         kpcov = np.asarray(kpm2["kf_cov_pos"])
         q["kf_push_height_min"] = round(float(kph.min()), 4)
-        q["kf_push_ok"] = bool(kph.min() > 0.5
+        q["est_deg_push_floor"] = round(float(kph.min())
+                                        - q["push_height_min"], 4)
+        q["kf_push_ok"] = bool(kph.min() > 0.6
                                and abs(kpv[-300:, 0].mean() - 0.5) < 0.2
                                and abs(kpv[-300:, 1].mean()) < 0.2
                                and not np.isnan(kph).any()
@@ -307,6 +336,34 @@ def main():
     solves_per_s = batch / tick_s
     step_latency = tick_s
 
+    # batch sweep point: the round-5 roofline sweep (tools/roofline.py,
+    # artifacts_roofline_tpu.json) measured B=1024 ~7% faster per
+    # scenario than B=4096 (dispatch/pipeline overhead amortization);
+    # the headline is the best of the two, per-batch numbers reported.
+    sweep = {batch: solves_per_s}
+    alt_B = 1024
+    if dev.platform != "cpu" and batch != alt_B:
+        _progress(f"walking batched slope B={alt_B}...")
+        st_alt = ro.initial_plant_state(cfg, batch=(alt_B,))
+        st_alt = st_alt.replace(xi=st_alt.xi.at[:, 9].add(
+            0.05 * jax.random.normal(jax.random.PRNGKey(0), (alt_B,),
+                                     jnp.float32)))
+        t_alt, _ = _batched_tick_time(cfg, st_alt)
+        sweep[alt_B] = alt_B / t_alt
+    best_B = max(sweep, key=sweep.get)
+    solves_per_s = sweep[best_B]
+    step_latency = best_B / solves_per_s
+
+    # roofline/MFU accounting (analytic model, utils/roofline.py)
+    from mpc_limx_control_tpu.utils.roofline import (HBM_GBPS, VPU_TFLOPS,
+                                                     fused_tick_flops,
+                                                     fused_tick_hbm_bytes)
+    _fl = fused_tick_flops(N=cfg.srbd.horizon, nu=cfg.srbd.nu,
+                           iters=cfg.srbd.solver.admm_warm_iters)
+    _bt = fused_tick_hbm_bytes(N=cfg.srbd.horizon, nu=cfg.srbd.nu)
+    mfu_vpu = solves_per_s * 2 * _fl["vpu_macs"] / (VPU_TFLOPS * 1e12)
+    hbm_frac = solves_per_s * _bt / (HBM_GBPS * 1e9)
+
     # single-scenario on-device per-tick latency vs the 5 ms dtMPC
     # budget (device-resident closed loop, slope-corrected)
     s1 = ro.initial_plant_state(cfg)
@@ -379,7 +436,12 @@ def main():
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
-        "batch": batch,
+        "batch": int(best_B),
+        "batch_sweep": {str(k): round(v, 1) for k, v in sweep.items()},
+        "flops_per_tick": _fl["total_flops"],
+        "mfu_vpu_est": round(mfu_vpu, 3),
+        "hbm_frac_of_peak": round(hbm_frac, 4),
+        "bound": "vpu-compute",
         "batched_step_latency_ms": round(step_latency * 1e3, 3),
         "implied_rtt_ms": round(rtt_s * 1e3, 2),
         "p50_single_solve_latency_ms": round(p50 * 1e3, 3),

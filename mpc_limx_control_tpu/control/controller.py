@@ -180,6 +180,10 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
 
     left_stance [N] in {0,1}.  Returns (grf [6] (L,R) with the swing
     foot's force zero, residual, xi_pred [13]).
+
+    pos_anchor [..., 3]: the persistent tracking anchor (x, y, yaw) —
+    clipped by the caller; None = fully receding reference
+    (include/mpcQP.h:83-85 position, :74-76 yaw).
     """
     c = cfg.srbd
     N = c.horizon
@@ -191,10 +195,14 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
     on_l = left_stance.astype(dtype)
     arms = jnp.where(on_l[:, None] > 0.5, arm_l[None], arm_r[None])  # [N,3]
 
-    # reference-anchor xy: the persistent tracking anchor (clipped by the
-    # caller) or the current position (receding, include/mpcQP.h:83-85)
-    anchor_xy = odom.pos[..., :2] if pos_anchor is None \
-        else pos_anchor[..., :2]
+    # reference-anchor xy/yaw: the persistent tracking anchor (clipped by
+    # the caller) or the current pose (receding, include/mpcQP.h:83-85)
+    if pos_anchor is None:
+        anchor_xy = odom.pos[..., :2]
+        yaw_anchor = None
+    else:
+        anchor_xy = pos_anchor[..., :2]
+        yaw_anchor = pos_anchor[..., 2]
 
     if c.solver.method == "admm_fused" and qp_warm is not None:
         # prep-fused path: the SRBD linearization, exact nilpotent ZOH,
@@ -204,9 +212,13 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
         # prep alone was ~6.7 ms at B=4096.
         from mpc_limx_control_tpu.ops import mpc_fused_pallas as fqp
         solver = fqp.make_walking_fused(cfg)
+        anchor3 = jnp.concatenate(
+            [anchor_xy,
+             (odom.ori[..., 2:3] if yaw_anchor is None
+              else yaw_anchor[..., None])], -1)
         sol, xi_pred, qp_state = solver(arms, xi0, v_des, yaw_rate_des,
                                         qp_warm[0], qp_warm[1],
-                                        anchor_xy)
+                                        anchor3)
         u0 = sol.u[:3]
         left_now = on_l[0] > 0.5
         zeros3 = jnp.zeros_like(u0)
@@ -228,7 +240,8 @@ def stance_mpc_single_support(cfg: ControllerConfig, odom: OdomState,
         [anchor_xy, jnp.zeros_like(anchor_xy[..., :1])], -1)
     x_ref = srbd.walking_reference(xi0, c, N, v_des, yaw_rate_des,
                                    height_des=cfg.ground_height + cfg.base_height,
-                                   pos_anchor=anchor3)
+                                   pos_anchor=anchor3,
+                                   yaw_anchor=yaw_anchor)
 
     Gu = _cone_single(cfg, dtype)                        # [6, 3]
     G = jnp.kron(jnp.eye(N, dtype=dtype), Gu)            # [6N, 3N]
@@ -337,17 +350,30 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
     target_w = gaitmod.foot_placement(cfg, gait, odom.pos, v_des,
                                       v_actual=odom.v_pos)
 
-    # ---- reference anchor (position tracking with anti-windup) --------
-    # clip the persistent anchor into a band around the current position,
-    # use the clipped value for this tick's MPC reference, and advance it
-    # by v_des dt for the next tick.  band = 0 (or no anchor threaded)
-    # degenerates exactly to the receding reference.
+    # ---- reference anchor (pose tracking with anti-windup) ------------
+    # ref_anchor [..., 3] = (x, y, yaw): clip the persistent anchor into a
+    # band around the current pose, use the clipped value for this tick's
+    # MPC reference, and advance it by (v_des, yaw_rate_des) dt for the
+    # next tick.  band = 0 (or no anchor threaded) degenerates exactly to
+    # the receding reference.  The yaw row is the round-5 heading
+    # integral action (cfg.yaw_anchor_band): a receding yaw origin
+    # re-zeroes the heading error every solve and tracks only ~76% of the
+    # commanded rate through the spin-up.
     band = cfg.ref_anchor_band
+    yband = cfg.yaw_anchor_band
     if ref_anchor is not None and band > 0.0:
-        anchor_used = jnp.clip(ref_anchor,
-                               odom.pos[..., :2] - band,
-                               odom.pos[..., :2] + band)
-        anchor_next = anchor_used + v_des[..., :2] * cfg.gait.dt
+        yaw_now = odom.ori[..., 2:3]
+        anchor_used = jnp.concatenate([
+            jnp.clip(ref_anchor[..., :2],
+                     odom.pos[..., :2] - band,
+                     odom.pos[..., :2] + band),
+            jnp.clip(ref_anchor[..., 2:3], yaw_now - yband,
+                     yaw_now + yband),
+        ], -1)
+        anchor_next = anchor_used + jnp.concatenate(
+            [v_des[..., :2],
+             yaw_rate_des[..., None] * jnp.ones_like(yaw_now)],
+            -1) * cfg.gait.dt
         if cfg.anchor_placement_gain > 0.0:
             # integral action on the velocity error through the foot
             # placement: ran ahead of the anchor -> step further forward
@@ -355,11 +381,14 @@ def tick(cfg: ControllerConfig, odom: OdomState, joints: JointState,
             # inside the band
             target_w = target_w.at[..., :2].add(
                 cfg.anchor_placement_gain
-                * (odom.pos[..., :2] - anchor_used))
+                * (odom.pos[..., :2] - anchor_used[..., :2]))
     else:
         anchor_used = None
-        anchor_next = (odom.pos[..., :2] + v_des[..., :2] * cfg.gait.dt
-                       if ref_anchor is not None else None)
+        anchor_next = (jnp.concatenate(
+            [odom.pos[..., :2] + v_des[..., :2] * cfg.gait.dt,
+             odom.ori[..., 2:3]
+             + yaw_rate_des[..., None] * cfg.gait.dt], -1)
+            if ref_anchor is not None else None)
 
     # World-frame foot positions from FK + base pose
     R_wb = rot.quat_to_rot(odom.quat)

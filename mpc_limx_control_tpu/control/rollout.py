@@ -49,9 +49,10 @@ class PlantState:
     kf: "KFState | None" = None
     prev_v: jnp.ndarray | None = None
     prev_q: jnp.ndarray | None = None
-    # walking MPC reference anchor xy (cfg.ref_anchor_band > 0): the
-    # persistent world position the reference ramp originates from,
-    # advanced at v_des and band-clipped each tick; None = receding
+    # walking MPC reference anchor (cfg.ref_anchor_band > 0): [..., 3] =
+    # (x, y, yaw), the persistent world pose the reference ramps
+    # originate from, advanced at (v_des, yaw_rate_des) and band-clipped
+    # each tick; None = receding
     ref_anchor: jnp.ndarray | None = None
 
 
@@ -96,7 +97,9 @@ def initial_plant_state(cfg: ControllerConfig, batch=(),
             qp_lam = jnp.ones((*batch, 2 * nu * N), dtype)
     ref_anchor = None
     if cfg.ref_anchor_band > 0.0 and cfg.mode == "walk":
-        ref_anchor = pos[..., :2]
+        # (x, y, yaw) — initial yaw is zero
+        ref_anchor = jnp.concatenate(
+            [pos[..., :2], jnp.zeros((*batch, 1), dtype)], -1)
     kf = prev_v = prev_q = None
     if cfg.estimator_mode == "kf":
         kf = KFState.initial(batch, cfg.estimator.initial_covariance,
@@ -205,7 +208,8 @@ def plant_step(cfg: ControllerConfig, state: PlantState,
         wd = jnp.asarray(cfg.desired_yaw_rate, dtype)
         it = jnp.asarray(iteration, dtype)
         anc = (state.ref_anchor if state.ref_anchor is not None
-               else state.xi[..., 3:5])
+               else jnp.concatenate(
+                   [state.xi[..., 3:5], state.xi[..., 2:3]], -1))
         hold = grf_override is not None
         # held dtMPC ticks (grf_override) run the HOLD variant of the
         # whole-tick kernel: no MPC solve, the held force applied to
@@ -347,6 +351,16 @@ def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
             jax.tree.map(lambda a, b: jnp.where(left_swing, a, b), gl, gr),
             q_sw)
         p_sw_w = base_new + jnp.einsum("...ij,...j->...i", R_new, p_sw_b)
+        # rigid ground: the swing foot cannot penetrate the support
+        # surface.  Without this clamp an estimator position bias makes
+        # the commanded touchdown land below z = ground, the foot is
+        # pinned there, and the KF (whose absolute-z reference is "feet
+        # on the ground") re-anchors one bias higher — a positive
+        # feedback that sinks the closed loop ~5 cm/s (round-5 finding;
+        # the 1200-tick KF gate never saw it).  Gazebo's contact solver
+        # provided this constraint for the reference implicitly.
+        p_sw_w = p_sw_w.at[..., 2].set(
+            jnp.maximum(p_sw_w[..., 2], cfg.ground_height))
 
         foot_l = jnp.where(left_swing[..., None], p_sw_w, state.foot_l)
         foot_r = jnp.where(left_swing[..., None], state.foot_r, p_sw_w)
@@ -503,7 +517,8 @@ def batched_rollout_resident(cfg: ControllerConfig, state0: PlantState,
     zw_t = pad_t(state0.qp_z)
     yw_t = pad_t(state0.qp_lam)
     anc0 = (state0.ref_anchor if state0.ref_anchor is not None
-            else state0.xi[:, 3:5])
+            else jnp.concatenate(
+                [state0.xi[:, 3:5], state0.xi[:, 2:3]], -1))
     anc_t = pad_t(anc0)
     vd_t = jnp.tile(jnp.asarray(cfg.desired_velocity, dtype)[:, None],
                     (1, B_pad))

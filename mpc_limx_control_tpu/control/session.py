@@ -159,8 +159,9 @@ class ControlSession:
         # xy state advanced by the jitted ticks, like the QP warm state
         self.ref_anchor = None
         if self.cfg.ref_anchor_band > 0.0 and self.cfg.mode == "walk":
+            # (x, y, yaw) — reset by the first odom tick
             self.ref_anchor = jnp.asarray(
-                [0.0, 0.0], jnp.float32)  # reset by the first odom tick
+                [0.0, 0.0, 0.0], jnp.float32)
         # Production-path ticks (the benched sim path, live): the GRF QP is
         # warm-started tick-to-tick — on TPU with method "admm_fused" the
         # warm tick routes through the fused condensation+ADMM Pallas
@@ -171,7 +172,7 @@ class ControlSession:
             cmd, diag = ctrl.tick(self.cfg, odom, joints, it,
                                   qp_warm=(z, lam), ref_anchor=anchor)
             anc = diag.ref_anchor if diag.ref_anchor is not None \
-                else jnp.zeros((2,), jnp.float32)
+                else jnp.zeros((3,), jnp.float32)
             return (_packed(cmd), diag.qp_state[0], diag.qp_state[1],
                     diag.grf, anc)
 
@@ -179,7 +180,7 @@ class ControlSession:
             cmd, diag = ctrl.tick(self.cfg, odom, joints, it,
                                   grf_override=grf, ref_anchor=anchor)
             anc = diag.ref_anchor if diag.ref_anchor is not None \
-                else jnp.zeros((2,), jnp.float32)
+                else jnp.zeros((3,), jnp.float32)
             return _packed(cmd), anc
 
         self._tick_warm = jax.jit(_warm_impl)
@@ -387,10 +388,11 @@ class ControlSession:
                 solve_now = (not warm) or (it % mpc_every == 0) \
                     or (self._held_grf is None)
                 if self.ref_anchor is not None and it == 0:
-                    # seed the anchor at the first known base position
-                    self.ref_anchor = odom.pos[..., :2]
+                    # seed the anchor at the first known base pose
+                    self.ref_anchor = jnp.concatenate(
+                        [odom.pos[..., :2], odom.ori[..., 2:3]], -1)
                 anc = (self.ref_anchor if self.ref_anchor is not None
-                       else jnp.zeros((2,), jnp.float32))
+                       else jnp.zeros((3,), jnp.float32))
                 if warm and solve_now:
                     packed, z, lam, grf, anc_n = self._tick_warm(
                         odom, joints, it_arr,

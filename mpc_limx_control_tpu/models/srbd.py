@@ -298,20 +298,26 @@ def initial_state(orientation, position, angular_velocity, velocity,
 def walking_reference(xi0: jnp.ndarray, cfg: SRBDConfig, N: int,
                       v_des: jnp.ndarray, yaw_rate: jnp.ndarray,
                       height_des: float | None = None,
-                      pos_anchor: jnp.ndarray | None = None):
+                      pos_anchor: jnp.ndarray | None = None,
+                      yaw_anchor: jnp.ndarray | None = None):
     """Reference trajectory [..., N+1, 13] from the current state.
 
     Generalizes include/mpcQP.h:74-97 (which hardcodes yaw rate 0.1 and
     vx 0.5): orientation held except yaw integrating yaw_rate; position
     integrating v_des; angular velocity = (0,0,yaw_rate); velocity = v_des
     (step 0 keeps the measured velocity, :89-93); g row constant.
+
+    yaw_anchor [...] : absolute yaw the ramp originates from (the
+    band-clipped persistent heading anchor, cfg.yaw_anchor_band); None =
+    the receding form (origin at the measured yaw, include/mpcQP.h:74-76).
     """
     dtype = xi0.dtype
     ts = cfg.ts
     t = jnp.arange(N + 1, dtype=dtype) * ts            # [N+1]
     ref = jnp.broadcast_to(xi0[..., None, :],
                            (*xi0.shape[:-1], N + 1, 13))
-    yaw = xi0[..., 2:3] + t * yaw_rate[..., None]
+    yaw0 = xi0[..., 2:3] if yaw_anchor is None else yaw_anchor[..., None]
+    yaw = yaw0 + t * yaw_rate[..., None]
     # receding reference (position pinned at the measured state, as the
     # reference does, include/mpcQP.h:83-85) unless an absolute anchor is
     # given (standing balance: drive the COM over the support point —

@@ -342,8 +342,8 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
     v_des, yaw_rate) — the XLA-side prep (linearize_shared +
     discretize_srbd + walking_reference) was 6.7 ms at B=4096, over half
     the remaining tick (models/srbd.py documents the same closed forms).
-    anc_ref [2, L]: the caller-clipped reference-anchor xy (equal to the
-    current position for the receding reference).
+    anc_ref [3, L]: the caller-clipped reference-anchor pose (x, y, yaw)
+    (equal to the current pose for the receding reference).
     """
     _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               x0_ref[:], lambda k: arms_ref[k], vdes_ref[:], wdes_ref[:],
@@ -368,9 +368,9 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
 
     x0 [nx, L] / vdes [3, L] / wdes [1, L] / I_inv [3, 3] are VALUES;
     arms_read(k) -> [3, L] reads horizon-step k's stance-foot position
-    (k may be a traced index).  `anchor` [2, L] is the reference-position
-    xy origin (the caller-clipped tracking anchor); None = the receding
-    reference (origin at x0's position).
+    (k may be a traced index).  `anchor` [3, L] is the reference pose
+    origin (x, y, yaw — the caller-clipped tracking anchor); None = the
+    receding reference (origin at x0's pose).
 
     two_feet=True: the double-support standing form (nu = 6): Bd gains a
     second per-foot column triple and arms_read(k) must return the PAIR
@@ -538,12 +538,17 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
 
     sp = {"adT": _adT, "ad_right": _ad_right, "ad": _adx, "bdc": _bdc}
 
-    ref_origin_xy = x0[3:5] if anchor is None else anchor
+    # anchor [3, L] = (x, y, yaw) pose origin of the reference ramps;
+    # None = fully receding (origin at x0's pose).  The yaw row is the
+    # round-5 heading integral action (cfg.yaw_anchor_band) — the
+    # linearization above stays at the MEASURED yaw (operating point).
+    ref_origin_xy = x0[3:5] if anchor is None else anchor[0:2]
+    ref_origin_yaw = yaw if anchor is None else anchor[2:3]
 
     def ref_row(jp1):
         t = jp1.astype(f32) * ts if hasattr(jp1, "astype") \
             else jnp.float32(jp1) * ts
-        yaw_r = yaw + t * wdes                            # [1, L]
+        yaw_r = ref_origin_yaw + t * wdes                 # [1, L]
         xy = ref_origin_xy + t * vdes[0:2]                # [2, L]
         zrow = jnp.full((1, L), height_des, f32)
         omega = jnp.concatenate([zero1, zero1, wdes], axis=0)
@@ -713,7 +718,8 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
     synthesized inside the kernel.
 
     arms [B,N,3] (world stance-foot position per horizon step);
-    x0 [B,nx]; v_des [B,3]; yaw_rate [B]; warm state as usual.
+    x0 [B,nx]; v_des [B,3]; yaw_rate [B]; anchor [B,3] = (x, y, yaw)
+    reference-pose origin; warm state as usual.
     `inertia` is the 3x3 body inertia as a nested tuple.
     Returns (z [B,n], y [B,m], residual [B], xi_pred [B,nx]).
     """
@@ -740,7 +746,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
     wdes_t = yaw_rate[None].astype(f32)                        # [1,B]
     zw_t = jnp.transpose(z_warm, (1, 0)).astype(f32)
     yw_t = jnp.transpose(y_warm, (1, 0)).astype(f32)
-    anc_t = jnp.transpose(anchor, (1, 0)).astype(f32)          # [2,B]
+    anc_t = jnp.transpose(anchor, (1, 0)).astype(f32)          # [3,B]
 
     q_np = np.asarray(q_diag, np.float32)[:, None]
     p_np = np.asarray(p_diag, np.float32)[:, None]
@@ -782,7 +788,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
             spec((1,)),            # yaw_rate
             spec((n,)),            # z_warm
             spec((m,)),            # y_warm
-            spec((2,)),            # reference-anchor xy
+            spec((3,)),            # reference-anchor pose (x, y, yaw)
             const_spec((nx, 1)),   # q_diag
             const_spec((nx, 1)),   # p_diag
             const_spec((nu, nu)),  # diag block
@@ -829,9 +835,10 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
 
 def make_walking_fused(cfg, use_pallas=None):
     """Prep-fused warm walking GRF solver from the FULL controller
-    config: fn(arms, x0, v_des, yaw_rate, z_warm, y_warm, anchor_xy) ->
-    (QPSolution, xi_pred, (z, y)).  anchor_xy [2] is the reference
-    position origin (pass x0's xy for the receding reference).
+    config: fn(arms, x0, v_des, yaw_rate, z_warm, y_warm, anchor) ->
+    (QPSolution, xi_pred, (z, y)).  anchor [3] = (x, y, yaw) is the
+    reference pose origin (pass x0's xy + yaw for the fully receding
+    reference).
 
     arms [N,3] per scenario (vmap for batches).  Off-TPU the vmap rule
     runs the XLA composition (srbd linearize/ZOH/reference + condense +
@@ -871,10 +878,12 @@ def make_walking_fused(cfg, use_pallas=None):
         Ac, Bc_t = jax.vmap(lambda a, p, yw: _srbd.linearize_shared(
             cfg.robot, a, p, yw, dtype))(arms, x0[:, 3:6], x0[:, 2])
         Ad, Bd_t = _srbd.discretize_srbd(Ac, Bc_t, ts)
-        anc3 = jnp.concatenate([anc, jnp.zeros_like(anc[:, :1])], -1)
-        x_ref = jax.vmap(lambda xx, vv, ww, aa: _srbd.walking_reference(
+        anc3 = jnp.concatenate(
+            [anc[:, :2], jnp.zeros_like(anc[:, :1])], -1)
+        x_ref = jax.vmap(lambda xx, vv, ww, aa, ya: _srbd.walking_reference(
             xx, c, N, vv, ww, height_des=height_des,
-            pos_anchor=aa))(x0, v_des, yaw_rate, anc3)
+            pos_anchor=aa, yaw_anchor=ya))(x0, v_des, yaw_rate, anc3,
+                                           anc[:, 2])
         Q = jnp.diag(jnp.asarray(q_diag, dtype))
         R = jnp.diag(jnp.asarray(r_diag, dtype))
         P = jnp.diag(jnp.asarray(p_diag, dtype))

@@ -134,7 +134,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  cycle: float, swing_t: float, stance_t: float,
                  gait_height: float, p_rel_max: float, ground_h: float,
                  k_cap: float, use_capture: bool, anchor_band: float,
-                 anchor_gain: float,
+                 anchor_gain: float, yaw_band: float,
                  off_l: tuple, off_r: tuple, geom: tuple,
                  stand: bool, est_kf: bool, est_c: tuple, hold: bool,
                  # refs (inputs):
@@ -388,14 +388,20 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
             p_r_w = pos_e + _mv(R_e, fk_leg(q6[3:6], -one))
 
     # ---- 3. foot placement (control/gait.py:foot_placement) -----------
-    # reference anchor (controller.tick ref_anchor math): clip to the
-    # band around the current position; the MPC reference ramps from it
-    # and the placement gets the integral correction k*(pos - anchor).
-    # band = 0 -> anc_used == pos (receding reference, zero correction).
-    anc = anc_ref[:]                                      # [2, L]
-    anc_used = jnp.clip(anc, pos_e[0:2] - anchor_band,
-                        pos_e[0:2] + anchor_band)
-    anc_out[:] = anc_used + vdes[0:2] * dt
+    # reference anchor (controller.tick ref_anchor math): [3, L] =
+    # (x, y, yaw).  Clip xy to the band around the current position and
+    # yaw to yaw_band around the current heading; the MPC reference
+    # ramps from the clipped pose and the placement gets the integral
+    # correction k*(pos - anchor).  bands = 0 -> anc_used == pose
+    # (receding reference, zero correction).
+    anc = anc_ref[:]                                      # [3, L]
+    anc_xy = jnp.clip(anc[0:2], pos_e[0:2] - anchor_band,
+                      pos_e[0:2] + anchor_band)
+    yaw_now = th_e[2:3]
+    anc_yaw = jnp.clip(anc[2:3], yaw_now - yaw_band, yaw_now + yaw_band)
+    anc_used = jnp.concatenate([anc_xy, anc_yaw], axis=0)
+    anc_out[:] = jnp.concatenate(
+        [anc_xy + vdes[0:2] * dt, anc_yaw + wdes * dt], axis=0)
     if use_capture:
         v_pred = vel_e
         corr_x = k_cap * (vel_e[0:1] - vdes[0:1])
@@ -482,7 +488,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         # (controller.tick's mode == "stand" branch): the MPC pushes the
         # COM over the support midpoint (stance_mpc's pos_anchor)
         arms2 = (p_l_w, p_r_w)
-        anchor_mpc = 0.5 * (p_l_w[0:2] + p_r_w[0:2])
+        anchor_mpc = jnp.concatenate(
+            [0.5 * (p_l_w[0:2] + p_r_w[0:2]), th_e[2:3]], axis=0)
     else:
         arm_l = jnp.where(ls > 0.5, target, p_l_w)
         arm_r = jnp.where(ls > 0.5, p_r_w, target)
@@ -586,6 +593,10 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
         q_out[:] = jnp.concatenate([q_l, q_r], axis=0)
         return
     p_sw_w = p_new + _mv(R_new, fk_leg(swing_q, mir_sw))
+    # rigid ground: clamp swing-foot penetration (see control/rollout.py
+    # — breaks the estimator-bias touchdown-sink feedback loop)
+    p_sw_w = jnp.concatenate(
+        [p_sw_w[0:2], jnp.maximum(p_sw_w[2:3], ground_h)], axis=0)
     fl_new = jnp.where(ls > 0.5, p_sw_w, fl)
     fr_new = jnp.where(ls > 0.5, fr, p_sw_w)
     fl_out[:] = fl_new
@@ -607,7 +618,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                      "height_des", "cycle", "swing_t", "stance_t",
                      "gait_height", "p_rel_max", "ground_h", "k_cap",
                      "use_capture", "anchor_band", "anchor_gain",
-                     "off_l", "off_r",
+                     "yaw_band", "off_l", "off_r",
                      "geom", "q_diag", "r_diag", "p_diag", "Gu", "h",
                      "inertia", "stand", "est_c", "interpret",
                      "prof_skip"))
@@ -621,7 +632,8 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
                        stance_t: float, gait_height: float,
                        p_rel_max: float, ground_h: float, k_cap: float,
                        use_capture: bool, anchor_band: float,
-                       anchor_gain: float, off_l, off_r, geom,
+                       anchor_gain: float, yaw_band: float,
+                       off_l, off_r, geom,
                        q_diag, r_diag, p_diag, Gu, h, inertia,
                        stand: bool = False, est_c: tuple = (),
                        interpret: bool = False, prof_skip: tuple = ()):
@@ -630,7 +642,8 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
     xi [B,13] (plant truth); xi_est [B,13] (controller-visible odometry —
     pass xi for truth mode, the KF estimate packed by srbd.initial_state
     for estimator_mode == "kf"); q [B,6]; foot_l/foot_r [B,3];
-    z_warm [B,N*nu]; y_warm [B,N*mu]; anchor [B,2]; it [B]; v_des [B,3];
+    z_warm [B,N*nu]; y_warm [B,N*mu]; anchor [B,3] (x, y, yaw); it [B];
+    v_des [B,3];
     yaw_rate [B].  Returns (xi', q', foot_l', foot_r', z, y, anchor',
     residual [B], grf [B,6], target [B,3]).
 
@@ -701,7 +714,8 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
         height_des=height_des, cycle=cycle, swing_t=swing_t,
         stance_t=stance_t, gait_height=gait_height, p_rel_max=p_rel_max,
         ground_h=ground_h, k_cap=k_cap, use_capture=use_capture,
-        anchor_band=anchor_band, anchor_gain=anchor_gain, off_l=off_l,
+        anchor_band=anchor_band, anchor_gain=anchor_gain,
+        yaw_band=yaw_band, off_l=off_l,
         off_r=off_r, geom=geom, q_diag=q_diag, r_diag=r_diag,
         p_diag=p_diag, Gu=Gu, h=h, inertia=inertia, stand=stand,
         est_c=est_c, interpret=interpret, prof_skip=prof_skip,
@@ -723,9 +737,9 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
                      N, iters, rho, alpha, ts, dt, mass, height_des,
                      cycle, swing_t, stance_t, gait_height, p_rel_max,
                      ground_h, k_cap, use_capture, anchor_band,
-                     anchor_gain, off_l, off_r, geom, q_diag, r_diag,
-                     p_diag, Gu, h, inertia, stand, est_c, interpret,
-                     prof_skip, grf_t=None):
+                     anchor_gain, yaw_band, off_l, off_r, geom, q_diag,
+                     r_diag, p_diag, Gu, h, inertia, stand, est_c,
+                     interpret, prof_skip, grf_t=None):
     """Transposed-layout kernel dispatch: every per-lane array is
     batch-last [k, B_pad] with B_pad a multiple of LANES.  This is the
     layout the kernel consumes natively — the batch-first wrapper above
@@ -762,7 +776,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         float(ts), float(dt), float(mass), float(height_des),
         float(cycle), float(swing_t), float(stance_t), float(gait_height),
         float(p_rel_max), float(ground_h), float(k_cap), bool(use_capture),
-        float(anchor_band), float(anchor_gain),
+        float(anchor_band), float(anchor_gain), float(yaw_band),
         tuple(off_l), tuple(off_r), tuple(geom),
         bool(stand), bool(est_kf), tuple(est_c), bool(hold),
         prof_skip=tuple(prof_skip))
@@ -790,7 +804,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         spec((3,)),            # foot_r
         spec((n,)),            # z_warm
         spec((m,)),            # y_warm
-        spec((2,)),            # reference anchor xy
+        spec((3,)),            # reference anchor pose (x, y, yaw)
         spec((1,)),            # iteration
         spec((3,)),            # v_des
         spec((1,)),            # yaw_rate
@@ -803,7 +817,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         const_spec((3, 3)),    # I^{-1}
     ]
     out_specs = [spec((nx,)), spec((6,)), spec((3,)), spec((3,)),
-                 spec((n,)), spec((m,)), spec((2,)), spec((1,)),
+                 spec((n,)), spec((m,)), spec((3,)), spec((1,)),
                  spec((6,)), spec((3,))]
     out_shape = [
         jax.ShapeDtypeStruct((nx, B_pad), f32),
@@ -812,7 +826,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         jax.ShapeDtypeStruct((3, B_pad), f32),
         jax.ShapeDtypeStruct((n, B_pad), f32),
         jax.ShapeDtypeStruct((m, B_pad), f32),
-        jax.ShapeDtypeStruct((2, B_pad), f32),
+        jax.ShapeDtypeStruct((3, B_pad), f32),
         jax.ShapeDtypeStruct((1, B_pad), f32),
         jax.ShapeDtypeStruct((6, B_pad), f32),
         jax.ShapeDtypeStruct((3, B_pad), f32),
@@ -975,6 +989,7 @@ def _tick_statics(cfg, prof_skip=()):
         use_capture=use_capture,
         anchor_band=float(cfg.ref_anchor_band),
         anchor_gain=float(cfg.anchor_placement_gain),
+        yaw_band=float(cfg.yaw_anchor_band),
         off_l=off_l, off_r=off_r, geom=geom,
         q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
         inertia=inertia, stand=stand, prof_skip=tuple(prof_skip))

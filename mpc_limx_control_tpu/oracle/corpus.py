@@ -118,14 +118,17 @@ def build_walking_qp_f64(cfg: ControllerConfig, state: ro.PlantState,
     target_w = gaitmod.foot_placement(
         cfg, gait, pos, v_des, v_actual=v_pos)
 
-    # anchor logic (tick():343-362): clip the persistent anchor into the
-    # band, shift placement by the integral term, use it as the MPC
+    # anchor logic (tick()): clip the persistent (x, y, yaw) anchor into
+    # its bands, shift placement by the integral term, use it as the MPC
     # reference origin
     band = cfg.ref_anchor_band
+    yband = cfg.yaw_anchor_band
     anchor_used = None
+    yaw_anchor_used = None
     if state.ref_anchor is not None and band > 0.0:
         ra = _to64(state.ref_anchor)
-        anchor_used = jnp.clip(ra, pos[:2] - band, pos[:2] + band)
+        anchor_used = jnp.clip(ra[:2], pos[:2] - band, pos[:2] + band)
+        yaw_anchor_used = jnp.clip(ra[2], ori[2] - yband, ori[2] + yband)
         if cfg.anchor_placement_gain > 0.0:
             target_w = target_w.at[:2].add(
                 cfg.anchor_placement_gain * (pos[:2] - anchor_used))
@@ -154,7 +157,7 @@ def build_walking_qp_f64(cfg: ControllerConfig, state: ro.PlantState,
     x_ref = srbd.walking_reference(
         xi0, c, N, v_des, yaw_rate_des,
         height_des=cfg.ground_height + cfg.base_height,
-        pos_anchor=anchor3)
+        pos_anchor=anchor3, yaw_anchor=yaw_anchor_used)
 
     Q = np.diag(np.asarray(c.q_diag, np.float64))
     R = np.diag(np.asarray(c.r_diag, np.float64))

@@ -173,7 +173,8 @@ def test_prep_fused_matches_xla_composition():
     z_w = 5.0 * jax.random.normal(kz, (B, 3 * N), jnp.float32)
     y_w = jnp.abs(jax.random.normal(ky, (B, 6 * N), jnp.float32))
 
-    anc = xi0[:, 3:5]   # receding reference (anchor at current position)
+    # receding reference (anchor at the current pose: x, y, yaw)
+    anc = jnp.concatenate([xi0[:, 3:5], xi0[:, 2:3]], -1)
     solver_xla = fused.make_walking_fused(cfg, use_pallas=False)
     sol_ref, xp_ref, zy_ref = jax.vmap(solver_xla)(
         arms, xi0, v_des, yaw_rate, z_w, y_w, anc)

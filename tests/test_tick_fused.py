@@ -60,7 +60,7 @@ def _run_fused(cfg, s, its, v_des):
     vd = jnp.broadcast_to(jnp.asarray(v_des, dtype), (s.xi.shape[0], 3))
     wd = jnp.zeros((s.xi.shape[0],), dtype) + cfg.desired_yaw_rate
     anc = (s.ref_anchor if s.ref_anchor is not None
-           else s.xi[..., 3:5])
+           else jnp.concatenate([s.xi[..., 3:5], s.xi[..., 2:3]], -1))
     outs = jax.vmap(step)(s.xi, s.q, s.foot_l, s.foot_r,
                           s.qp_z, s.qp_lam, anc, its, vd, wd)
     xi, q, fl, fr, z, y, anc_n, res, grf, tgt = outs

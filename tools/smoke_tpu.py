@@ -142,7 +142,7 @@ def main():
     wd = jnp.zeros((B,), jnp.float32)
     zw = jnp.zeros((B, N * 3), jnp.float32)
     yw = jnp.zeros((B, N * 6), jnp.float32)
-    anc = xi0[:, 3:5]
+    anc = jnp.concatenate([xi0[:, 3:5], xi0[:, 2:3]], -1)
     t0 = time.perf_counter()
     sol, xp, qp_state = jax.vmap(
         lambda *a: solver(*a))(arms, xi0, vd, wd, zw, yw, anc)
