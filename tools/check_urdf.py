@@ -92,6 +92,39 @@ def check(urdf_path: str) -> list[str]:
         expect(f"knee_{side}_Joint axis",
                axis(f"knee_{side}_Joint"), (0.0, 1.0, 0.0))
 
+    # ---- leg link inertials vs LegInertialParams (round 5) -----------
+    from mpc_limx_control_tpu.models.dynamics import LegInertialParams
+
+    lp = LegInertialParams()
+    leg_vals = {
+        "abad": (lp.masses[0], lp.com_abad, lp.inertia_abad),
+        "hip": (lp.masses[1], lp.com_hip, lp.inertia_hip),
+        "knee": (lp.masses[2], lp.com_knee, lp.inertia_knee),
+    }
+    for side, mir in (("L", False), ("R", True)):
+        m = mirror_y if mir else (lambda t: t)
+        for ln, (mass_w, com_w, in_w) in leg_vals.items():
+            link = links.get(f"{ln}_{side}_Link")
+            if link is None or link.find("inertial") is None:
+                errs.append(f"missing inertial on {ln}_{side}_Link")
+                continue
+            inertial = link.find("inertial")
+            got_m = float(inertial.find("mass").get("value"))
+            if abs(got_m - mass_w) > TOL:
+                errs.append(f"{ln}_{side} mass: urdf {got_m} != "
+                            f"config {mass_w}")
+            o = inertial.find("origin")
+            got_c = _vec(o.get("xyz", "0 0 0")) if o is not None \
+                else (0.0, 0.0, 0.0)
+            expect(f"{ln}_{side} com", got_c, m(com_w))
+            it = inertial.find("inertia")
+            got_i = tuple(float(it.get(k)) for k in ("ixx", "iyy", "izz"))
+            expect(f"{ln}_{side} inertia diag", got_i, in_w)
+            for k in ("ixy", "ixz", "iyz"):
+                if abs(float(it.get(k, "0"))) > TOL:
+                    errs.append(f"{ln}_{side} inertia {k} nonzero (config"
+                                " model is diagonal about the COM)")
+
     base = links.get("base_Link")
     if base is None:
         errs.append("missing link base_Link")
@@ -127,8 +160,9 @@ def main():
         for e in errs:
             print(f"MISMATCH: {e}", file=sys.stderr)
         raise SystemExit(1)
-    print(f"URDF check OK: {path} matches core/config.py "
-          f"(10 joint origins, 6 axes, mass, full inertia tensor)")
+    print(f"URDF check OK: {path} matches core/config.py + "
+          f"models/dynamics.py (10 joint origins, 6 axes, base mass + "
+          f"full inertia tensor, 6 leg-link inertials)")
 
 
 if __name__ == "__main__":
