@@ -270,7 +270,8 @@ class ControlSession:
     # -- run: the 1 kHz MPC loop (src/mpc_control_fake_state.cpp:108-149)
     def run(self, iterations: int, hz: float = 1000.0,
             use_kf: bool = False, est_odom_every: int = 5,
-            mpc_every: Optional[int] = None) -> dict:
+            mpc_every: Optional[int] = None,
+            async_dispatch: bool = False) -> dict:
         """Run `iterations` control ticks; returns loop statistics.
 
         The live loop IS the production path: with cfg.qp_warm_start (the
@@ -294,16 +295,38 @@ class ControlSession:
         from state receipt to command send: `tick_latency_p50/p95/max`
         overall plus `solve_latency_p50`/`hold_latency_p50` split by
         dtMPC role, and budget counters vs the 1 kHz control period and
-        the 5 ms dtMPC budget."""
+        the 5 ms dtMPC budget.
+
+        `async_dispatch` (round 5, VERDICT r4 next #7): the MPC solve is
+        dispatched WITHOUT waiting and overlaps the hold ticks.  Every
+        tick runs the (cheap) hold path with the force of the newest
+        COMPLETED solve — jax async dispatch keeps the solve chain
+        device-resident (warm state threads as device futures in
+        dispatch order, so ordering is exact) and the host only polls
+        `Array.is_ready()`.  The dtMPC schedule tolerates this by
+        construction (the reference holds its force 5 ticks,
+        include/MPCParam.h:46-47).  Stats gain a measured force-
+        staleness histogram (`grf_staleness_p50/p95/max`, in ticks) and
+        `solves_dispatched/solves_adopted` — the loop rate is decoupled
+        from the SOLVE round trip (it remains bounded by the hold tick's
+        dispatch+fetch, which on deployment hardware is sub-ms; on the
+        tunneled dev chip both are the tunnel RTT)."""
         import time as _time
         from mpc_limx_control_tpu.control import gait as gaitmod
         if mpc_every is None:
             mpc_every = self.cfg.gait.mpc_step
         warm = self.cfg.qp_warm_start and self.qp_state is not None
         stats = {"sent": 0, "stale": 0, "missed_deadlines": 0,
-                 "est_odom_published": 0, "mpc_solves": 0, "mpc_holds": 0}
+                 "est_odom_published": 0, "mpc_solves": 0, "mpc_holds": 0,
+                 "solves_dispatched": 0, "solves_adopted": 0}
         lat_solve: list = []
         lat_hold: list = []
+        staleness: list = []
+        pending: list = []      # async: dispatched, not-yet-adopted solves
+        held_it = None          # tick the adopted force was solved at
+        if async_dispatch and not warm:
+            raise ValueError("async_dispatch requires the warm "
+                             "(qp_warm_start) production path")
         it = 0
         with rt.Rate(hz) as rate:
             while it < iterations:
@@ -393,7 +416,37 @@ class ControlSession:
                         [odom.pos[..., :2], odom.ori[..., 2:3]], -1)
                 anc = (self.ref_anchor if self.ref_anchor is not None
                        else jnp.zeros((3,), jnp.float32))
-                if warm and solve_now:
+                if async_dispatch:
+                    # harvest the newest COMPLETED solve (host-side poll
+                    # only; execution order is already device-side exact)
+                    ready = None
+                    for i in range(len(pending) - 1, -1, -1):
+                        if pending[i][1].is_ready():
+                            ready = i
+                            break
+                    if ready is not None:
+                        held_it, grf_r, *_ = pending[ready]
+                        self._held_grf = grf_r
+                        del pending[:ready + 1]
+                        stats["solves_adopted"] += 1
+                    if it % mpc_every == 0 or self._held_grf is None:
+                        _, z, lam, grf, _ = self._tick_warm(
+                            odom, joints, it_arr,
+                            self.qp_state[0], self.qp_state[1], anc)
+                        self.qp_state = (z, lam)   # device-future chain
+                        pending.append((it, grf))
+                        stats["solves_dispatched"] += 1
+                        if self._held_grf is None:
+                            # cold start: block once for the first force
+                            held_it = it
+                            self._held_grf = jax.block_until_ready(grf)
+                            pending.clear()
+                            stats["solves_adopted"] += 1
+                    solve_now = False
+                    packed, anc_n = self._tick_hold(
+                        odom, joints, it_arr, self._held_grf, anc)
+                    staleness.append(it - held_it)
+                elif warm and solve_now:
                     packed, z, lam, grf, anc_n = self._tick_warm(
                         odom, joints, it_arr,
                         self.qp_state[0], self.qp_state[1], anc)
@@ -433,4 +486,10 @@ class ControlSession:
                     sum(1 for x in ls if x > 0.005))
             if lat_hold:
                 stats["hold_latency_p50"] = pct(sorted(lat_hold), 0.50)
+        if staleness:
+            ss = sorted(staleness)
+            stats["grf_staleness_p50"] = float(ss[len(ss) // 2])
+            stats["grf_staleness_p95"] = float(
+                ss[min(len(ss) - 1, int(0.95 * len(ss)))])
+            stats["grf_staleness_max"] = float(ss[-1])
         return stats

@@ -124,6 +124,9 @@ def _make_plant_step(cfg: ControllerConfig):
             jax.tree.map(lambda a, b: jnp.where(left_swing, a, b), gl, gr),
             q_sw)
         p_sw_w = base_new + R_new @ p_sw_b
+        # rigid ground (control/rollout.py round-5 clamp)
+        p_sw_w = p_sw_w.at[2].set(
+            jnp.maximum(p_sw_w[2], cfg.ground_height))
         foot_l_new = jnp.where(left_swing, p_sw_w, foot_l)
         foot_r_new = jnp.where(left_swing, foot_r, p_sw_w)
         q_st_l = kin.inverse_kinematics_analytic(
@@ -313,6 +316,40 @@ def test_session_production_path_truth_odom():
         assert abs(xi[5] - sim_xi[5]) < 0.03, (xi[5], sim_xi[5])
         assert abs(xi[3] - sim_xi[3]) < 0.25 * max(1.0, sim_xi[3]), \
             (xi[3], sim_xi[3])
+    finally:
+        plant.close()
+
+
+def test_session_async_dispatch_walks():
+    """async_dispatch (round 5): the MPC solve overlaps the hold ticks —
+    every tick serves the newest COMPLETED solve's force while new
+    solves chain device-side without host sync.  The robot must walk as
+    well as the synchronous path, and the measured force-staleness
+    histogram replaces the unmeasured 'PCIe will be fine' claim
+    (VERDICT r4 next #7)."""
+    base = 18310 + int(time.time() * 10) % 200
+    sp, cp = base, base + 1
+    cfg = ControllerConfig.walking()
+    plant = WirePlant(cfg, sp, cp, publish_truth_odom=True)
+    try:
+        with ses.ControlSession(cfg, host_ip="127.0.0.1", state_port=sp,
+                                cmd_port=cp) as session:
+            iters = 1500
+            stats = session.run(iterations=iters, hz=1000.0,
+                                async_dispatch=True)
+        assert stats["sent"] == iters
+        assert stats["solves_dispatched"] >= iters // cfg.gait.mpc_step
+        assert stats["solves_adopted"] >= 1
+        # the staleness histogram was measured
+        assert stats["grf_staleness_p50"] >= 0.0
+        assert stats["grf_staleness_max"] >= stats["grf_staleness_p50"]
+
+        xi = np.asarray(plant.xi)
+        assert plant.steps_taken > iters * 0.9
+        # same quality bands as the synchronous production path
+        assert 0.63 < xi[5] < 0.67, xi[5]
+        assert abs(xi[0]) < 0.1 and abs(xi[1]) < 0.1, xi[0:2]
+        assert xi[3] > 0.2, xi[3]
     finally:
         plant.close()
 

@@ -40,7 +40,7 @@ from mpc_limx_control_tpu.control import session as ses
 from test_session_walking import WirePlant
 
 
-def _run(cfg, iters, use_kf, port_base):
+def _run(cfg, iters, use_kf, port_base, async_dispatch=False):
     sp, cp = port_base, port_base + 1
     plant = WirePlant(cfg, sp, cp, publish_truth_odom=not use_kf)
     try:
@@ -55,7 +55,8 @@ def _run(cfg, iters, use_kf, port_base):
                     .at[9:12].set(plant.foot_r))
             t0 = time.perf_counter()
             stats = session.run(iterations=iters, hz=1000.0,
-                                use_kf=use_kf)
+                                use_kf=use_kf,
+                                async_dispatch=async_dispatch)
             wall = time.perf_counter() - t0
         xi = np.asarray(plant.xi)
         out = {k: (round(v, 6) if isinstance(v, float) else v)
@@ -86,9 +87,18 @@ def main():
                  "dispatch"),
         "truth_odom": _run(cfg, iters, use_kf=False, port_base=base),
         "kf": _run(cfg, iters, use_kf=True, port_base=base + 10),
+        # round 5 (VERDICT r4 next #7): the MPC dispatch overlaps the
+        # hold ticks; commands are served from the newest COMPLETED
+        # solve with a measured staleness histogram.  On this link the
+        # loop rate is bounded by the hold tick's own dispatch RTT, no
+        # longer by the (larger) solve RTT.
+        "truth_odom_async": _run(cfg, iters, use_kf=False,
+                                 port_base=base + 20,
+                                 async_dispatch=True),
     }
     out["ok"] = bool(out["truth_odom"]["walked_ok"]
-                     and out["kf"]["walked_ok"])
+                     and out["kf"]["walked_ok"]
+                     and out["truth_odom_async"]["walked_ok"])
     path = os.path.join(REPO, "artifacts_session_tpu.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
