@@ -296,7 +296,7 @@ def _plant_step_ref(cfg: ControllerConfig, state: PlantState,
     # exact-ZOH step in explicit vector form (srbd.srbd_step_vector):
     # identical math to linearize_shared + discretize_srbd + matvec, but
     # no [13,13]/[13,6] matrices — the matrix build alone was ~3.7 ms of
-    # the ~4.8 ms non-MPC tick cost at B=4096 (tools/profile_rest.py),
+    # the ~4.8 ms non-MPC tick cost at B=4096 (tools/archive/profile_rest.py),
     # and its batched small matmuls ran at bf16 MXU precision on TPU
     # while the vector form is exact f32 elementwise.
     feet = jnp.stack([state.foot_l, state.foot_r], axis=-2)
@@ -469,6 +469,93 @@ def batched_rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
     return jax.vmap(
         lambda s: rollout(cfg, s, steps, start_iteration, mpc_every))(
         state0)
+
+
+def soak_rollout(cfg: ControllerConfig, state0: PlantState,
+                 n_windows: int, window: int, start_iteration=0):
+    """Endurance soak: `n_windows` blocks of `window` ticks, metrics
+    reduced to per-window summary statistics ON DEVICE.
+
+    A 60k-tick (60 s at the reference's 1 kHz rate,
+    include/MPCParam.h:44-47) batched rollout would materialize
+    ~60k x B x 14 floats of per-tick metrics — 200+ MB to fetch over a
+    ~50 MB/s dev tunnel.  This wrapper scans window blocks and keeps only
+    [n_windows]-shaped reductions, so a full minute-long soak fetches a
+    few KB: limit-cycle stationarity, anchor windup, KF covariance drift,
+    and f32 accumulation over minutes become assertable numbers.
+
+    `start_iteration` may be a [B] array (staggered gait phases).
+    Returns (final_state, stats) where every stats leaf is [n_windows].
+    """
+    batched = state0.xi.ndim == 2
+    dtype = state0.xi.dtype
+    it0 = jnp.asarray(start_iteration, dtype)
+
+    def wbody(carry, _):
+        s, it = carry
+        if batched:
+            s2, m = batched_rollout(cfg, s, window, start_iteration=it)
+        else:
+            s2, m = rollout(cfg, s, window, start_iteration=it)
+        h = m["height"]
+        v = m["velocity"]
+        stats = {
+            "height_mean": h.mean(),
+            "height_min": h.min(),
+            "height_max": h.max(),
+            "vx_mean": v[..., 0].mean(),
+            "vy_mean": v[..., 1].mean(),
+            "qp_res_max": m["qp_residual"].max(),
+            "est_err_max": m["est_error"].max(),
+            "nonfinite_ticks": jnp.sum(
+                ~jnp.isfinite(h)).astype(jnp.int32),
+        }
+        if "kf_cov_pos" in m:
+            stats["kf_cov_pos_max"] = m["kf_cov_pos"].max()
+            stats["kf_cov_pos_mean"] = m["kf_cov_pos"].mean()
+            stats["kf_cov_vel_max"] = m["kf_cov_vel"].max()
+        return (s2, it + window), stats
+
+    (final, _), stats = lax.scan(wbody, (state0, it0), None,
+                                 length=n_windows)
+    return final, stats
+
+
+def soak_stationary(stats: dict, tail_frac: float = 0.8) -> dict:
+    """Host-side stationarity summary of soak_rollout stats.
+
+    Over the last `tail_frac` of windows: windowed height/vx spread and a
+    least-squares drift slope PER WINDOW (a true limit cycle has ~zero
+    drift; anchor windup, KF re-anchoring sinks, or f32 accumulation all
+    show up as a nonzero slope long before they cross a hard floor —
+    the round-5 KF touchdown sink was exactly such a drift, invisible to
+    a 1200-tick gate)."""
+    import numpy as np
+    out = {}
+    n = len(np.asarray(stats["height_mean"]))
+    i0 = int(round((1.0 - tail_frac) * n))
+    w = np.arange(n - i0, dtype=np.float64)
+    for key in ("height_mean", "vx_mean", "kf_cov_pos_mean"):
+        if key not in stats:
+            continue
+        y = np.asarray(stats[key], np.float64)[i0:]
+        slope = float(np.polyfit(w, y, 1)[0]) if len(y) > 1 else 0.0
+        out[f"{key}_tail_mean"] = float(y.mean())
+        out[f"{key}_tail_ptp"] = float(y.max() - y.min())
+        out[f"{key}_drift_per_window"] = slope
+    out["height_min"] = float(np.asarray(stats["height_min"]).min())
+    out["nonfinite_ticks"] = int(
+        np.asarray(stats["nonfinite_ticks"]).sum())
+    if "kf_cov_pos_max" in stats:
+        # all-time max is dominated by the (intended) initial-covariance
+        # transient; boundedness in steady state is the TAIL max
+        out["kf_cov_pos_max"] = float(
+            np.asarray(stats["kf_cov_pos_max"]).max())
+        out["kf_cov_pos_max_tail"] = float(
+            np.asarray(stats["kf_cov_pos_max"])[i0:].max())
+        out["kf_cov_vel_max"] = float(
+            np.asarray(stats["kf_cov_vel_max"]).max())
+    return out
 
 
 def batched_rollout_resident(cfg: ControllerConfig, state0: PlantState,

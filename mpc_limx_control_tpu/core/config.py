@@ -216,6 +216,15 @@ class SRBDConfig:
     # Reference trajectory knobs (include/mpcQP.h:75-76)
     ref_yaw_rate: float = 0.1
     ref_velocity_x: float = 0.5
+    # Roll/pitch reference policy.  "level" regulates attitude to zero;
+    # "receding" reproduces include/mpcQP.h:74-97 (reference orientation
+    # = measured orientation), which only DAMPS angular rate and leaves
+    # the attitude angle a free random walk: the round-5 60k-tick soak
+    # measured an uncorrected ~0.023 rad/s pitch drift under truth
+    # odometry that breaks the gait at ~41 s (documented deviation; the
+    # receding form stays available for parity).  The fused Pallas
+    # kernels implement "level" only — "receding" runs the XLA path.
+    attitude_ref: str = "level"
 
     @classmethod
     def walking(cls) -> "SRBDConfig":

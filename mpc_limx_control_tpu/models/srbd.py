@@ -310,12 +310,21 @@ def walking_reference(xi0: jnp.ndarray, cfg: SRBDConfig, N: int,
     yaw_anchor [...] : absolute yaw the ramp originates from (the
     band-clipped persistent heading anchor, cfg.yaw_anchor_band); None =
     the receding form (origin at the measured yaw, include/mpcQP.h:74-76).
+
+    Roll/pitch rows follow cfg.attitude_ref: "level" (default) sets them
+    to zero so the MPC actively restores posture; "receding" keeps the
+    measured attitude as the reference (the include/mpcQP.h:74-97 form,
+    parity only) — under which attitude is merely rate-damped and a
+    stance-torque bias integrates unchecked (~0.023 rad/s pitch drift,
+    gait collapse at ~41 s in the round-5 60k-tick soak).
     """
     dtype = xi0.dtype
     ts = cfg.ts
     t = jnp.arange(N + 1, dtype=dtype) * ts            # [N+1]
     ref = jnp.broadcast_to(xi0[..., None, :],
                            (*xi0.shape[:-1], N + 1, 13))
+    if cfg.attitude_ref == "level":
+        ref = ref.at[..., 0:2].set(0.0)
     yaw0 = xi0[..., 2:3] if yaw_anchor is None else yaw_anchor[..., None]
     yaw = yaw0 + t * yaw_rate[..., None]
     # receding reference (position pinned at the measured state, as the

@@ -552,8 +552,16 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
         xy = ref_origin_xy + t * vdes[0:2]                # [2, L]
         zrow = jnp.full((1, L), height_des, f32)
         omega = jnp.concatenate([zero1, zero1, wdes], axis=0)
+        # roll/pitch reference = LEVEL (srbd.walking_reference
+        # attitude_ref="level"): a receding attitude reference (x0[0:2],
+        # the include/mpcQP.h:74-97 form) only damps angular rate, and
+        # the round-5 60k-tick soak showed the resulting free pitch walk
+        # (~0.023 rad/s bias) collapses the gait at ~41 s.  Configs with
+        # attitude_ref="receding" are parity-only and never dispatch
+        # here (make_walking_fused / supports_fused_tick guard).
+        rp = jnp.zeros((2, L), f32)
         return jnp.concatenate(
-            [x0[0:2], yaw_r, xy, zrow, omega, vdes, x0[12:13]], axis=0)
+            [rp, yaw_r, xy, zrow, omega, vdes, x0[12:13]], axis=0)
 
     _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
               ad, bd_s, ref_row, x0,
@@ -852,6 +860,10 @@ def make_walking_fused(cfg, use_pallas=None):
         use_pallas = jax.default_backend() == "tpu"
 
     c = cfg.srbd
+    if use_pallas and c.attitude_ref != "level":
+        # the in-kernel ref_row is level-attitude only (the receding
+        # form is a parity option served by the XLA composition)
+        use_pallas = False
     N = c.horizon
     mu = float(c.friction_mu)
     Gu = ((1.0, 0.0, -mu), (-1.0, 0.0, -mu),

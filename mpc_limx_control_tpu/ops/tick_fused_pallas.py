@@ -7,7 +7,7 @@ step, foot pinning (reference call stack MPC::run,
 include/MPCController.h:183-196, plus the plant x<-Ad x+Bd u of
 src/QPSolver.cpp:108-111) — became the bottleneck: ~100 small
 fusion-bounded XLA ops, each a [B, <16]-shaped HBM round trip
-(tools/profile_rest.py: ~4.8 ms at B=4096).
+(tools/archive/profile_rest.py: ~4.8 ms at B=4096).
 
 This kernel runs ONE complete simulation tick per 128-lane block with no
 HBM intermediates:
@@ -899,7 +899,10 @@ def supports_fused_tick(cfg) -> bool:
             and cfg.ik_method == "analytic"
             and cfg.qp_warm_start
             and cfg.srbd.solver.method == "admm_fused"
-            and cfg.placement_mode in ("capture", "reference"))
+            and cfg.placement_mode in ("capture", "reference")
+            # the in-kernel reference is level-attitude only; the
+            # "receding" parity form runs the XLA composition
+            and cfg.srbd.attitude_ref == "level")
 
 
 def make_tick_fused(cfg, use_pallas=None, prof_skip=(), hold=False):
