@@ -23,3 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the interpret-mode fused-kernel
+# equivalence tests each compile a very large unrolled XLA graph
+# (~60-120 s); the disk cache halves repeat-run cost (kernel edits still
+# recompile — cache keys include the traced program).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -11,6 +11,7 @@ quality gate + examples/run_walking.py flows.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +25,22 @@ from mpc_limx_control_tpu.ops import condense as cnd
 from mpc_limx_control_tpu.ops import mpc_fused_pallas as fused
 from mpc_limx_control_tpu.ops import qp as qps
 
+RUN_SLOW = os.environ.get("RUN_SLOW", "") == "1"
+slow = pytest.mark.skipif(
+    not RUN_SLOW,
+    reason="full-size (N=20) interpret-mode kernel equivalence; "
+           "RUN_SLOW=1 — binding pre-snapshot gate (NOTES.md)")
 
-def _walking_inputs(B, key):
-    """Realistic single-support walking QP inputs for B scenarios."""
+
+def _small_cfg():
     cfg = ControllerConfig.walking()
+    return dataclasses.replace(
+        cfg, srbd=dataclasses.replace(cfg.srbd, horizon=8))
+
+
+def _walking_inputs(B, key, cfg=None):
+    """Realistic single-support walking QP inputs for B scenarios."""
+    cfg = cfg or ControllerConfig.walking()
     c = cfg.srbd
     N = c.horizon
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -71,6 +84,7 @@ def _xla_reference(cfg, Ad, Bd_t, x_ref, xi0, z_w, y_w, iters):
     return sol, zy
 
 
+@slow
 @pytest.mark.parametrize("B", [4, 130])
 def test_fused_matches_xla_reference(B):
     key = jax.random.PRNGKey(3)
@@ -116,6 +130,7 @@ def test_fused_unbatched_path():
     assert np.isfinite(np.asarray(sol.u)).all()
 
 
+@slow
 def test_fused_condensation_matches_condense_lti_diag():
     """Cross-check: the kernel's band math equals condense_lti_diag,
     which equals the generic condense (already pinned by
@@ -138,9 +153,9 @@ def test_fused_condensation_matches_condense_lti_diag():
                                atol=2e-3 * scale, rtol=0)
 
 
-def _walking_prep_inputs(B, key):
+def _walking_prep_inputs(B, key, cfg=None):
     """Inputs for the prep-fused variant: raw (arms, x0, v_des, yaw_rate)."""
-    cfg = ControllerConfig.walking()
+    cfg = cfg or ControllerConfig.walking()
     c = cfg.srbd
     N = c.horizon
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -160,6 +175,7 @@ def _walking_prep_inputs(B, key):
         v_des.astype(jnp.float32), yaw_rate.astype(jnp.float32)
 
 
+@slow
 def test_prep_fused_matches_xla_composition():
     """The in-kernel SRBD linearization + ZOH + reference synthesis must
     reproduce the XLA composition (linearize_shared + discretize_srbd +
@@ -188,6 +204,57 @@ def test_prep_fused_matches_xla_composition():
     np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
                                atol=2e-3 * scale, rtol=0)
     np.testing.assert_allclose(np.asarray(zy_f[1]), np.asarray(zy_ref[1]),
+                               atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(xp_f), np.asarray(xp_ref),
+                               atol=1e-3 * scale, rtol=0)
+
+
+def test_fused_matches_xla_reference_small_horizon():
+    """DEFAULT-suite fused-QP parity at horizon 8 (same math, ~6x
+    smaller interpret graph); the N=20 equivalence runs under
+    RUN_SLOW=1."""
+    B = 4
+    cfg, Ad, Bd_t, x_ref, xi0 = _walking_inputs(
+        B, jax.random.PRNGKey(3), cfg=_small_cfg())
+    c = cfg.srbd
+    N = c.horizon
+    kz, ky = jax.random.split(jax.random.PRNGKey(9))
+    z_w = 5.0 * jax.random.normal(kz, (B, 3 * N), jnp.float32)
+    y_w = jnp.abs(jax.random.normal(ky, (B, 6 * N), jnp.float32))
+    sol_ref, (z_ref, y_ref) = _xla_reference(
+        cfg, Ad, Bd_t, x_ref, xi0, z_w, y_w, c.solver.admm_warm_iters)
+    solver = fused.make_admm_fused(c, use_pallas="interpret")
+    with pltpu.force_tpu_interpret_mode():
+        sol_f, (z_f, y_f) = jax.vmap(solver)(Ad, Bd_t, x_ref, xi0,
+                                             z_w, y_w)
+    scale = float(jnp.max(jnp.abs(z_ref))) + 1.0
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_ref),
+                               atol=2e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-3 * scale, rtol=0)
+
+
+def test_prep_fused_matches_xla_small_horizon():
+    """DEFAULT-suite prep-fused (in-kernel linearize+ZOH+reference)
+    parity at horizon 8; the N=20 version runs under RUN_SLOW=1."""
+    B = 3
+    cfg, arms, xi0, v_des, yaw_rate = _walking_prep_inputs(
+        B, jax.random.PRNGKey(21), cfg=_small_cfg())
+    c = cfg.srbd
+    N = c.horizon
+    kz, ky = jax.random.split(jax.random.PRNGKey(9))
+    z_w = 5.0 * jax.random.normal(kz, (B, 3 * N), jnp.float32)
+    y_w = jnp.abs(jax.random.normal(ky, (B, 6 * N), jnp.float32))
+    anc = jnp.concatenate([xi0[:, 3:5], xi0[:, 2:3]], -1)
+    solver_xla = fused.make_walking_fused(cfg, use_pallas=False)
+    sol_ref, xp_ref, zy_ref = jax.vmap(solver_xla)(
+        arms, xi0, v_des, yaw_rate, z_w, y_w, anc)
+    solver_k = fused.make_walking_fused(cfg, use_pallas="interpret")
+    with pltpu.force_tpu_interpret_mode():
+        sol_f, xp_f, zy_f = jax.vmap(solver_k)(
+            arms, xi0, v_des, yaw_rate, z_w, y_w, anc)
+    scale = float(jnp.max(jnp.abs(sol_ref.u))) + 1.0
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
                                atol=2e-3 * scale, rtol=0)
     np.testing.assert_allclose(np.asarray(xp_f), np.asarray(xp_ref),
                                atol=1e-3 * scale, rtol=0)

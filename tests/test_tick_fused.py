@@ -10,9 +10,17 @@ well under closed-loop tolerance — tests/test_mpc_fused.py).
 Runs in interpreter mode on CPU; the real-backend validation is
 tools/smoke_tpu.py (compile+run of every kernel variant on the chip —
 a required snapshot gate, see NOTES.md) plus the bench quality gate.
+
+Interpret-mode cost scales ~N^2 with the MPC horizon (the unrolled
+condensation), so the DEFAULT suite runs one smoke-level parity per
+kernel mode at horizon 8 (~N^2/6 the graph; every code path — gait,
+placement, IK, condensation, Cholesky, warm ADMM, plant, in-kernel KF —
+still executes), while the full-size (N=20) equivalence suite runs
+under RUN_SLOW=1, which remains a binding pre-snapshot gate (NOTES.md).
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +30,18 @@ import pytest
 from mpc_limx_control_tpu.core.config import ControllerConfig
 from mpc_limx_control_tpu.control import rollout as ro
 from mpc_limx_control_tpu.ops import tick_fused_pallas as tf
+
+RUN_SLOW = os.environ.get("RUN_SLOW", "") == "1"
+slow = pytest.mark.skipif(
+    not RUN_SLOW,
+    reason="full-size (N=20) interpret-mode kernel equivalence; "
+           "RUN_SLOW=1 — binding pre-snapshot gate (NOTES.md)")
+
+
+def _small(cfg):
+    """Horizon-8 variant of a controller config (fast interpret)."""
+    return dataclasses.replace(
+        cfg, srbd=dataclasses.replace(cfg.srbd, horizon=8))
 
 
 @pytest.fixture(autouse=True)
@@ -70,6 +90,7 @@ def _run_fused(cfg, s, its, v_des):
     return st, {"grf": grf, "qp_residual": res, "foot_target": tgt}
 
 
+@slow
 def test_tick_fused_matches_composition_one_step():
     cfg = ControllerConfig.walking()
     B = 6
@@ -116,6 +137,7 @@ def test_tick_fused_matches_composition_one_step():
                                np.asarray(st_r.qp_z), atol=5.0)
 
 
+@slow
 def test_tick_fused_multi_step_warm_threading():
     """Warm state (z, y) must thread tick-to-tick identically: run 5
     consecutive ticks and compare the final state."""
@@ -150,6 +172,7 @@ def test_supports_fused_tick_predicate():
         dataclasses.replace(cfg, qp_warm_start=False))
 
 
+@slow
 def test_tick_fused_stand_matches_composition():
     """Standing (two-foot nu = 6) whole-tick kernel vs the unfused
     composition: one tick from perturbed initial states."""
@@ -179,6 +202,7 @@ def test_tick_fused_stand_matches_composition():
                                np.asarray(st_r.qp_z)[:, :18], atol=5e-2)
 
 
+@slow
 def test_tick_fused_stand_multi_step():
     """Standing warm threading: 5 consecutive ticks, final state parity,
     and the closed loop stays upright (height near the set point)."""
@@ -201,6 +225,7 @@ def test_tick_fused_stand_multi_step():
     assert np.all(np.abs(np.asarray(s_f.xi)[:, 5] - 0.65) < 0.05)
 
 
+@slow
 def test_tick_fused_kf_mode_matches_composition(monkeypatch):
     """KF-in-the-loop fused dispatch (12-state filter IN-KERNEL:
     sensor synthesis + contact-gated predict/update + xy conditioning)
@@ -248,6 +273,7 @@ def test_plant_step_dispatcher_off_tpu_unchanged():
     assert np.isfinite(np.asarray(st.xi)).all()
 
 
+@slow
 def test_tick_fused_stand_kf_matches_composition(monkeypatch):
     """Standing + in-kernel KF (both-feet contact gating): fused dispatch
     vs the unfused composition over 4 consecutive ticks."""
@@ -280,6 +306,7 @@ def test_tick_fused_stand_kf_matches_composition(monkeypatch):
                                np.asarray(m_r["grf"]), atol=2e-1)
 
 
+@slow
 @pytest.mark.parametrize("est", ["truth", "kf"])
 def test_resident_rollout_matches_plant_step_scan(monkeypatch, est):
     """batched_rollout_resident (batch-last carry, one transpose per
@@ -319,6 +346,7 @@ def test_resident_rollout_matches_plant_step_scan(monkeypatch, est):
                                        err_msg=k)
 
 
+@slow
 def test_fused_hold_tick_matches_composition(monkeypatch):
     """The dtMPC schedule (solve every 5th tick, hold in between) with
     the HOLD variant of the whole-tick kernel vs the unfused
@@ -361,3 +389,60 @@ def test_fused_hold_tick_matches_composition(monkeypatch):
                                    np.asarray(m_r[j]["grf"]), atol=2e-1)
         assert float(np.abs(np.asarray(m_f[j]["qp_residual"])).max()) \
             == 0.0
+
+
+@pytest.mark.parametrize("mode", ["walk", "stand", "kf", "hold"])
+def test_tick_fused_smoke_parity_small_horizon(monkeypatch, mode):
+    """DEFAULT-suite fused-vs-unfused parity, one per kernel mode, at
+    horizon 8 (~6x smaller interpret graph than N=20; every kernel code
+    path — gait clock, placement, swing IK, in-kernel SRBD
+    linearization/ZOH/reference, condensation, Cholesky, warm ADMM,
+    plant step, and for "kf" the in-kernel 12-state filter — still
+    executes).  The full-size N=20 equivalence tests above run under
+    RUN_SLOW=1 (binding pre-snapshot gate, NOTES.md)."""
+    monkeypatch.setenv("MPC_TPU_FUSED_TICK", "interpret")
+    if mode == "stand":
+        cfg = _small(ControllerConfig.standing())
+    elif mode == "kf":
+        cfg = _small(dataclasses.replace(ControllerConfig.walking(),
+                                         estimator_mode="kf"))
+    else:
+        cfg = _small(ControllerConfig.walking())
+    B = 2
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    s0 = s0.replace(xi=s0.xi.at[:, 9].add(
+        0.05 * jax.random.normal(jax.random.PRNGKey(13), (B,),
+                                 jnp.float32)))
+    its = jnp.asarray([5.0, 320.0], jnp.float32)
+    assert ro._use_fused_tick(cfg, s0)
+
+    def run(env, steps=2):
+        monkeypatch.setenv("MPC_TPU_FUSED_TICK", env)
+        s, grf = s0, None
+        for j in range(steps):
+            if mode == "hold" and j > 0:
+                s, m = jax.vmap(lambda s1, it1, g1: ro.plant_step(
+                    cfg, s1, it1, grf_override=g1))(s, its + float(j),
+                                                    grf)
+            else:
+                s, m = jax.vmap(lambda s1, it1: ro.plant_step(
+                    cfg, s1, it1))(s, its + float(j))
+                grf = m["grf"]
+        return s, m
+
+    s_f, m_f = run("interpret")
+    s_r, m_r = run("0")
+
+    np.testing.assert_allclose(np.asarray(s_f.xi), np.asarray(s_r.xi),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f.q), np.asarray(s_r.q),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m_f["grf"]),
+                               np.asarray(m_r["grf"]), atol=2e-1)
+    if mode == "kf":
+        np.testing.assert_allclose(np.asarray(s_f.kf.x_hat),
+                                   np.asarray(s_r.kf.x_hat), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(s_f.kf.p_cov),
+                                   np.asarray(s_r.kf.p_cov), atol=5e-4)
+    if mode == "hold":
+        assert float(np.abs(np.asarray(m_f["qp_residual"])).max()) == 0.0
