@@ -472,7 +472,8 @@ def batched_rollout(cfg: ControllerConfig, state0: PlantState, steps: int,
 
 
 def soak_rollout(cfg: ControllerConfig, state0: PlantState,
-                 n_windows: int, window: int, start_iteration=0):
+                 n_windows: int, window: int, start_iteration=0,
+                 mpc_every: int = 1):
     """Endurance soak: `n_windows` blocks of `window` ticks, metrics
     reduced to per-window summary statistics ON DEVICE.
 
@@ -485,6 +486,8 @@ def soak_rollout(cfg: ControllerConfig, state0: PlantState,
     and f32 accumulation over minutes become assertable numbers.
 
     `start_iteration` may be a [B] array (staggered gait phases).
+    `mpc_every` > 1 soaks the reference's dtMPC hold schedule
+    (include/MPCParam.h:46-47).
     Returns (final_state, stats) where every stats leaf is [n_windows].
     """
     batched = state0.xi.ndim == 2
@@ -494,9 +497,11 @@ def soak_rollout(cfg: ControllerConfig, state0: PlantState,
     def wbody(carry, _):
         s, it = carry
         if batched:
-            s2, m = batched_rollout(cfg, s, window, start_iteration=it)
+            s2, m = batched_rollout(cfg, s, window, start_iteration=it,
+                                    mpc_every=mpc_every)
         else:
-            s2, m = rollout(cfg, s, window, start_iteration=it)
+            s2, m = rollout(cfg, s, window, start_iteration=it,
+                            mpc_every=mpc_every)
         h = m["height"]
         v = m["velocity"]
         stats = {

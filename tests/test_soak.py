@@ -107,3 +107,22 @@ def test_soak_stationary_10k_cpu(mode):
     if mode == "kf":
         assert np.isfinite(s["kf_cov_pos_max"])
         assert abs(s["kf_cov_pos_mean_drift_per_window"]) < 1e-6
+
+
+def test_soak_dtmpc_schedule_matches_batched_rollout():
+    """soak_rollout(mpc_every=5) is batched_rollout on the dtMPC hold
+    schedule, window by window."""
+    cfg = ControllerConfig.walking()
+    B, W, NW = 2, 100, 2
+    s0 = ro.initial_plant_state(cfg, batch=(B,))
+    it0 = _stagger(B)
+    f_soak, stats = jax.jit(lambda s: ro.soak_rollout(
+        cfg, s, NW, W, start_iteration=it0, mpc_every=5))(s0)
+    f_ref, m = jax.jit(lambda s: ro.batched_rollout(
+        cfg, s, NW * W, start_iteration=it0, mpc_every=5))(s0)
+    for a, b in zip(jax.tree.leaves(f_soak), jax.tree.leaves(f_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    h = np.asarray(m["height"])
+    np.testing.assert_allclose(stats["height_mean"][0],
+                               h[:, :W].mean(), atol=1e-5)
