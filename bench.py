@@ -329,6 +329,13 @@ def main():
             f = jax.jit(lambda s: jax.lax.scan(
                 stp, s, jnp.arange(K, dtype=jnp.float32))[0])
             return lambda: f(st0_2)
+        # small batches finish a K=60 scan in ~14 ms — comparable to the
+        # ~26 ms tunnel RTT, which makes the two-point slope noisy (the
+        # B=1024 headline swung 3.3-4.4M across runs).  Longer scans
+        # condition the difference; large batches keep the cheap pair.
+        B2 = int(st0_2.xi.shape[0])
+        if B2 <= 2048:
+            return _scan_slope(mk, K1=50, K2=250)
         return _scan_slope(mk)
 
     _progress(f"walking batched slope B={batch}...")

@@ -154,6 +154,17 @@ class SolverConfig:
                                  # than a PDIP Newton step)
     pdip_mu_min: float = 1e-12
     pdip_tau: float = 0.99       # fraction-to-boundary
+    # Triangular-solve form inside the fused kernels' warm ADMM:
+    # "subst" = exact forward/backward substitution sweeps (2n
+    # sequential Mosaic ops per sweep); "inv" = invert the Cholesky
+    # factor IN-PLACE once per solve and apply L^-1 / L^-T as two
+    # full-array contractions per sweep (~n x fewer op dispatches at
+    # ~2x the stage flops — a win on TPU, where the sweeps are
+    # op-dispatch-bound, see NOTES.md roofline).  Accuracy sits between
+    # exact substitution and the XLA path's explicit K^-1 (kappa(L) =
+    # sqrt(kappa(K))); parity vs the substitution form is pinned by
+    # tests/test_mpc_fused.py and the bench quality gate.
+    solve_form: str = "subst"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,6 +286,16 @@ class SRBDConfig:
                    # triangular solves vs the explicit f32 K^-1).
                    # Cold solves and non-TPU backends use the generic
                    # ADMM path automatically.
+                   # solve_form: the explicit-factor-inverse variant
+                   # ("inv") was measured on chip (round 5) at parity
+                   # with the substitution sweeps at the production
+                   # 5-iteration warm budget (interleaved long-scan A/B,
+                   # B=4096: subst 3.69M vs inv 3.61M solves/s — inside
+                   # tunnel noise; quality identical, parity 3e-5 on a
+                   # 50 N scale).  The once-per-solve n^3/2 inversion
+                   # offsets the ~n x dispatch reduction at 12 sweeps;
+                   # "inv" would win at higher iteration budgets and is
+                   # kept as a validated option.
                    solver=SolverConfig(method="admm_fused", iters=12,
                                        admm_rho=0.3, admm_warm_iters=5))
 

@@ -67,7 +67,7 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv,
-              xp_out=None, sp=None, prof_skip=()):
+              xp_out=None, sp=None, prof_skip=(), solve_form="subst"):
     """Shared kernel core: band condensation -> Cholesky -> warm ADMM.
 
     ad: [nx, nx, L] VALUE (row-major: ad[x] is row x of Ad).
@@ -227,12 +227,57 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
     # sweeps (turns 2n divides+clamps per solve into one multiply each)
     dg_inv = 1.0 / jnp.maximum(dg_ref[:], 1e-30)          # [n, L]
 
+    # ---- 2b. optional explicit factor inverse (solve_form="inv") -----
+    # The substitution sweeps below cost ~2n sequential Mosaic ops per
+    # sweep, and the warm ADMM runs 2*(iters+1) sweeps per tick — at
+    # n = 60 that is ~1.4k short-slice dispatches, the op-overhead-bound
+    # region of the roofline (NOTES.md round-5).  Here we instead invert
+    # the factor ONCE, IN PLACE (T = L^-1 overwrites S: column i of the
+    # storage holds L row i before the write and T row i after — L row i
+    # is last read exactly when T row i is produced, and the unused
+    # upper region is explicitly zeroed so the running contraction
+    # S[:i, :i] * Lrow stays garbage-free), after which every sweep is
+    # two full-array multiply+reduce contractions.  ~n x fewer
+    # dispatches at ~2x the stage flops; accuracy sits between exact
+    # substitution and the XLA path's explicit K^-1 (kappa(L) =
+    # sqrt(kappa(K))) — parity pinned by tests/test_mpc_fused.py.
+    # n-guard: the trade is ~n x fewer dispatches for ~2x stage flops
+    # (plus an n^3/2 one-time inversion) — measured on chip it wins at
+    # the walking size (n = 60: +2.7%/+7.2% at B=1024/4096) and LOSES
+    # 35% at the standing size (n = 120, flop-dominated), so oversized
+    # problems silently keep the substitution sweeps.
+    use_inv = solve_form == "inv" and n <= 64
+    if use_inv and "chol" not in prof_skip:
+        # storage after this loop: S[j, i, :] = T[i, j] for j <= i,
+        # 0 for j > i  (second index = row of T = column of storage)
+        S[0:1, 0, :] = dg_inv[0:1]
+        if n > 1:
+            S[1:, 0, :] = jnp.zeros((n - 1, L), f32)
+        for i in range(1, n):
+            Lrow = S[0:i, i, :]                           # L[i, 0:i]
+            contrib = jnp.sum(S[0:i, 0:i, :] * Lrow[None, :, :],
+                              axis=1)                     # [i, L]
+            S[0:i, i, :] = -contrib * dg_inv[i:i + 1]
+            S[i:i + 1, i, :] = dg_inv[i:i + 1]
+            if i + 1 < n:
+                S[i + 1:, i, :] = jnp.zeros((n - i - 1, L), f32)
+
     # ---- 3. warm ADMM in factor form ---------------------------------
     def solve_inplace():
         """K^{-1} Yv in place: Yv [n, L] holds rhs, gets solution.
 
-        STATIC trailing-slice substitution sweeps (half the flops of the
-        masked full-vector form, no iota/select/loop bookkeeping)."""
+        solve_form="subst": STATIC trailing-slice substitution sweeps
+        (half the flops of the masked full-vector form, no
+        iota/select/loop bookkeeping).  solve_form="inv": two
+        full-array contractions against the in-place factor inverse."""
+        if use_inv:
+            T = S[:, :, :]                                # [n, n, L]
+            b = Yv[:]
+            # y = L^-1 b : y[i] = sum_j T[i, j] b[j] = sum_j S[j, i] b[j]
+            yv = jnp.sum(T * b[:, None, :], axis=0)
+            # x = L^-T y : x[j] = sum_i T[i, j] y[i] = sum_i S[j, i] y[i]
+            Yv[:] = jnp.sum(T * yv[None, :, :], axis=1)
+            return
         for j in range(n):
             yj = Yv[j:j + 1] * dg_inv[j:j + 1]            # [1, L]
             Yv[j:j + 1] = yj
@@ -308,7 +353,7 @@ def _mpc_core(N, nx, nu, mu_, iters, rho, alpha,
 
 
 def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
-                rho: float, alpha: float, reg: float,
+                rho: float, alpha: float, reg: float, solve_form: str,
                 # refs (inputs):
                 ad_ref, bd_ref, xref_ref, x0_ref, zw_ref, yw_ref,
                 qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
@@ -322,12 +367,14 @@ def _mpc_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
               zw_ref, yw_ref, qv_ref, pv_ref, dblk_ref,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out,
-              S, w_ref, qe_ref, f_ref, dg_ref, Yv)
+              S, w_ref, qe_ref, f_ref, dg_ref, Yv,
+              solve_form=solve_form)
 
 
 def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
                      rho: float, alpha: float,
                      ts: float, mass: float, height_des: float,
+                     solve_form: str,
                      # refs (inputs):
                      x0_ref, arms_ref, vdes_ref, wdes_ref,
                      zw_ref, yw_ref, anc_ref,
@@ -352,7 +399,7 @@ def _mpc_kernel_prep(N: int, nx: int, nu: int, mu_: int, iters: int,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, xp_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=anc_ref[:])
+              anchor=anc_ref[:], solve_form=solve_form)
 
 
 def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
@@ -361,7 +408,8 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               qv_ref, pv_ref, dblk_ref, gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out, xp_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
-              anchor=None, prof_skip=(), two_feet=False):
+              anchor=None, prof_skip=(), two_feet=False,
+              solve_form="subst"):
     """Shared prep+solve core, callable from other kernels (the full-tick
     kernel of ops/tick_fused_pallas.py re-enters here after synthesizing
     the moment arms in-kernel).
@@ -569,7 +617,8 @@ def _prep_mpc(N, nx, nu, mu_, iters, rho, alpha, ts, mass, height_des,
               gmat_ref, gmt_ref, h_ref,
               z_out, y_out, res_out,
               S, w_ref, qe_ref, f_ref, dg_ref, Yv,
-              xp_out=xp_out, sp=sp, prof_skip=prof_skip)
+              xp_out=xp_out, sp=sp, prof_skip=prof_skip,
+              solve_form=solve_form)
 
 
 def _ad_t_vec(ad, s, nx: int):
@@ -591,10 +640,11 @@ def _pad_batch(x, B_pad, fill=0.0):
 @functools.partial(
     jax.jit, static_argnames=("N", "iters", "rho", "alpha", "reg",
                               "q_diag", "r_diag", "p_diag", "Gu", "h",
-                              "interpret"))
+                              "interpret", "solve_form"))
 def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
                      N: int, iters: int, rho: float, alpha: float,
                      reg: float, q_diag, r_diag, p_diag, Gu, h,
+                     solve_form: str = "subst",
                      interpret: bool = False):
     """Batched fused condensation + warm-ADMM GRF solve.
 
@@ -635,7 +685,7 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
 
     kernel = functools.partial(
         _mpc_kernel, N, nx, nu, mu_, iters, float(rho), float(alpha),
-        float(reg))
+        float(reg), str(solve_form))
 
     # batch-invariant constant inputs (pallas kernels may not capture
     # array constants — they are passed as replicated blocks instead)
@@ -715,9 +765,9 @@ def fused_walking_qp(Ad, Bd_t, x_ref, x0, z_warm, y_warm, *,
     jax.jit, static_argnames=("N", "iters", "rho", "alpha", "reg",
                               "ts", "mass", "height_des",
                               "q_diag", "r_diag", "p_diag", "Gu", "h",
-                              "inertia", "interpret"))
+                              "inertia", "interpret", "solve_form"))
 def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
-                          anchor, *,
+                          anchor, *, solve_form: str = "subst",
                           N: int, iters: int, rho: float, alpha: float,
                           reg: float, ts: float, mass: float,
                           height_des: float, q_diag, r_diag, p_diag,
@@ -769,7 +819,7 @@ def fused_walking_qp_prep(arms, x0, v_des, yaw_rate, z_warm, y_warm,
 
     kernel = functools.partial(
         _mpc_kernel_prep, N, nx, nu, mu_, iters, float(rho), float(alpha),
-        float(ts), float(mass), float(height_des))
+        float(ts), float(mass), float(height_des), str(solve_form))
 
     grid = (B_pad // LANES,)
 
@@ -875,6 +925,7 @@ def make_walking_fused(cfg, use_pallas=None):
     r_diag = tuple(float(v) for v in c.r_diag)
     p_diag = tuple(float(c.p_scale) * float(v) for v in c.q_diag)
     iters = int(c.solver.admm_warm_iters)
+    solve_form = str(getattr(c.solver, 'solve_form', 'subst'))
     rho = float(c.solver.admm_rho)
     alpha = float(c.solver.admm_alpha)
     reg = 1e-6
@@ -933,7 +984,7 @@ def make_walking_fused(cfg, use_pallas=None):
                 N=N, iters=iters, rho=rho, alpha=alpha, reg=reg,
                 ts=ts, mass=mass, height_des=height_des,
                 q_diag=q_diag, r_diag=r_diag, p_diag=p_diag,
-                Gu=Gu, h=h, inertia=inertia,
+                Gu=Gu, h=h, inertia=inertia, solve_form=solve_form,
                 interpret=use_pallas == "interpret")
             sol = QPSolution(u=z, iterations=iters, residual=res)
             zy = (z, y)
@@ -993,6 +1044,7 @@ def make_admm_fused(cfg_srbd, use_pallas=None, two_feet: bool = False):
     q_diag = tuple(float(v) for v in c.q_diag)
     p_diag = tuple(float(c.p_scale) * float(v) for v in c.q_diag)
     iters = int(c.solver.admm_warm_iters)
+    solve_form = str(getattr(c.solver, 'solve_form', 'subst'))
     rho = float(c.solver.admm_rho)
     alpha = float(c.solver.admm_alpha)
     reg = 1e-6
@@ -1035,6 +1087,7 @@ def make_admm_fused(cfg_srbd, use_pallas=None, two_feet: bool = False):
                 Ad, Bd_t, x_ref, x0, z_warm, y_warm,
                 N=N, iters=iters, rho=rho, alpha=alpha, reg=reg,
                 q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
+                solve_form=solve_form,
                 interpret=use_pallas == "interpret")
             sol = QPSolution(u=z, iterations=iters, residual=res)
             zy = (z, y)

@@ -147,7 +147,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                  # (kfx', kfP'), +3 scratch (Skf, Xk, dgk) — parsed from
                  # *rest in pallas positional order
                  *rest,
-                 prof_skip=()):
+                 prof_skip=(), solve_form="subst"):
     rest = list(rest)
     grf_in = rest.pop(0) if hold else None
     if est_kf:
@@ -510,7 +510,8 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                   z_out, y_out, res_out, None,
                   S, w_ref, qe_ref, f_ref, dg_ref, Yv, ad_s, bd_s,
                   anchor=anchor_mpc if stand else anc_used,
-                  prof_skip=prof_skip, two_feet=stand)
+                  prof_skip=prof_skip, two_feet=stand,
+                  solve_form=solve_form)
 
     # ---- 7. GRF split + exact-ZOH SRBD plant step ---------------------
     # (controller.tick grf packing + models/srbd.py:srbd_step_vector)
@@ -621,7 +622,7 @@ def _tick_kernel(N: int, nx: int, nu: int, mu_: int, iters: int,
                      "yaw_band", "off_l", "off_r",
                      "geom", "q_diag", "r_diag", "p_diag", "Gu", "h",
                      "inertia", "stand", "est_c", "interpret",
-                     "prof_skip"))
+                     "prof_skip", "solve_form"))
 def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
                        anchor, it, v_des, yaw_rate,
                        kf_x=None, kf_p=None, prev_v=None, prev_q=None,
@@ -636,7 +637,8 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
                        off_l, off_r, geom,
                        q_diag, r_diag, p_diag, Gu, h, inertia,
                        stand: bool = False, est_c: tuple = (),
-                       interpret: bool = False, prof_skip: tuple = ()):
+                       interpret: bool = False, prof_skip: tuple = (),
+                       solve_form: str = "subst"):
     """Batched whole-tick kernel dispatch.
 
     xi [B,13] (plant truth); xi_est [B,13] (controller-visible odometry —
@@ -719,7 +721,7 @@ def fused_walking_tick(xi, xi_est, q, foot_l, foot_r, z_warm, y_warm,
         off_r=off_r, geom=geom, q_diag=q_diag, r_diag=r_diag,
         p_diag=p_diag, Gu=Gu, h=h, inertia=inertia, stand=stand,
         est_c=est_c, interpret=interpret, prof_skip=prof_skip,
-        grf_t=grf_t)
+        solve_form=solve_form, grf_t=grf_t)
 
     (xi_n, q_n, fl_n, fr_n, z_t, y_t, anc_n, res_t, grf_t, tgt_t,
      *kf_outs) = outs
@@ -739,7 +741,8 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
                      ground_h, k_cap, use_capture, anchor_band,
                      anchor_gain, yaw_band, off_l, off_r, geom, q_diag,
                      r_diag, p_diag, Gu, h, inertia, stand, est_c,
-                     interpret, prof_skip, grf_t=None):
+                     interpret, prof_skip, solve_form="subst",
+                     grf_t=None):
     """Transposed-layout kernel dispatch: every per-lane array is
     batch-last [k, B_pad] with B_pad a multiple of LANES.  This is the
     layout the kernel consumes natively — the batch-first wrapper above
@@ -779,7 +782,7 @@ def _fused_tick_core(xi_t, xe_t, q_t, fl_t, fr_t, zw_t, yw_t, anc_t,
         float(anchor_band), float(anchor_gain), float(yaw_band),
         tuple(off_l), tuple(off_r), tuple(geom),
         bool(stand), bool(est_kf), tuple(est_c), bool(hold),
-        prof_skip=tuple(prof_skip))
+        prof_skip=tuple(prof_skip), solve_form=str(solve_form))
 
     grid = (B_pad // LANES,)
 
@@ -995,7 +998,8 @@ def _tick_statics(cfg, prof_skip=()):
         yaw_band=float(cfg.yaw_anchor_band),
         off_l=off_l, off_r=off_r, geom=geom,
         q_diag=q_diag, r_diag=r_diag, p_diag=p_diag, Gu=Gu, h=h,
-        inertia=inertia, stand=stand, prof_skip=tuple(prof_skip))
+        inertia=inertia, stand=stand, prof_skip=tuple(prof_skip),
+        solve_form=str(getattr(c.solver, "solve_form", "subst")))
 
     est_input = cfg.estimator_mode == "kf"
     if est_input:

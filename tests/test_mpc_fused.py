@@ -258,3 +258,34 @@ def test_prep_fused_matches_xla_small_horizon():
                                atol=2e-3 * scale, rtol=0)
     np.testing.assert_allclose(np.asarray(xp_f), np.asarray(xp_ref),
                                atol=1e-3 * scale, rtol=0)
+
+
+def test_solve_form_inv_matches_subst():
+    """solve_form="inv" (in-place factor inverse + full-array
+    contractions) must match the substitution sweeps.  Measured on chip
+    at throughput parity with subst at the 5-iteration warm budget
+    (NOTES.md round 5); kept as a validated option — this test keeps it
+    that way."""
+    B = 4
+    cfg, Ad, Bd_t, x_ref, xi0 = _walking_inputs(
+        B, jax.random.PRNGKey(3), cfg=_small_cfg())
+    c = cfg.srbd
+    N = c.horizon
+    z_w = 5.0 * jax.random.normal(jax.random.PRNGKey(1), (B, 3 * N),
+                                  jnp.float32)
+    y_w = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (B, 6 * N),
+                                    jnp.float32))
+    outs = {}
+    for form in ("subst", "inv"):
+        cs = dataclasses.replace(c, solver=dataclasses.replace(
+            c.solver, solve_form=form))
+        solver = fused.make_admm_fused(cs, use_pallas="interpret")
+        with pltpu.force_tpu_interpret_mode():
+            sol, (z, y) = jax.vmap(solver)(Ad, Bd_t, x_ref, xi0,
+                                           z_w, y_w)
+        outs[form] = (np.asarray(z), np.asarray(y))
+    scale = float(np.abs(outs["subst"][0]).max()) + 1.0
+    np.testing.assert_allclose(outs["inv"][0], outs["subst"][0],
+                               atol=1e-4 * scale, rtol=0)
+    np.testing.assert_allclose(outs["inv"][1], outs["subst"][1],
+                               atol=1e-4 * scale, rtol=0)
